@@ -1,0 +1,211 @@
+"""Sliding-window marginalization producing a dense prior, with FEJ.
+
+Reference semantics (d2vins/src/estimator/marginalization/
+marginalization.cpp:173-254 + filterResiduals:78-118):
+  * only residuals touching removed frames enter the marginalization;
+  * removed params = removed frames' pose+speedbias and landmarks whose
+    anchor frame is removed; everything else touched is kept;
+  * H = J^T J, g = J^T r, Schur complement over removed dims, result
+    wrapped as a linear prior on the kept params;
+  * FEJ (margin_enable_fej): residuals/Jacobians are evaluated at the
+    prior's stored linearization points for kept params.
+
+TPU-native formulation: fixed-shape masked algebra. Removed landmark
+columns (diagonal) are eliminated first, then the removed frames' 15-dim
+blocks via a masked dense Schur step; the (H,g) result is converted to
+prior rows J,r with an eigendecomposition square root (rank-revealing,
+rows below threshold masked out).
+
+Policy note: projection rows whose *observer* is removed but whose
+anchor survives are dropped (their landmark keeps its other
+observations). This matches the reference with
+``remove_base_when_margin_remote=false`` for the common VINS case where
+anchors are the landmark's oldest observation.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from d2slam_tpu.solver.layout import VIOLayout
+from d2slam_tpu.solver.state import ImuMeas, PriorBlock, ProjMeas, VIOState
+from d2slam_tpu.solver.vio_assembly import (
+    assemble_full_rows,
+    build_imu_rows,
+    build_prior_rows,
+    build_proj_rows,
+)
+
+
+def marginalize(
+    layout: VIOLayout,
+    state: VIOState,
+    imu: ImuMeas,
+    proj: ProjMeas,
+    prior: Optional[PriorBlock],
+    remove_frames: jax.Array,  # [W] bool
+    *,
+    gravity,
+    proj_sqrt_info: float,
+    dep_sqrt_info: float = 20.0,
+    huber_delta: float = 1.0,
+    eig_eps: float = 1e-8,
+) -> PriorBlock:
+    """Marginalize the frames marked in ``remove_frames`` into a new prior.
+
+    ``state`` should already hold the FEJ linearization values for kept
+    params if FEJ is enabled (the estimator maintains that snapshot).
+    """
+    dtype = state.poses.dtype
+    D = layout.D_pad
+    L = layout.L
+
+    # --- row selection -----------------------------------------------------
+    lm_anchor_removed = jnp.zeros((L,), bool).at[proj.lm].max(
+        remove_frames[proj.frame_i] & proj.valid
+    )
+    imu_touch = remove_frames[imu.frame_i] | remove_frames[imu.frame_j]
+    proj_touch = lm_anchor_removed[proj.lm]
+    # drop observer-removed rows of kept-anchor landmarks entirely:
+    proj_sel = proj._replace(valid=proj.valid & proj_touch)
+    imu_sel = imu._replace(valid=imu.valid & imu_touch)
+
+    blocks = [
+        build_imu_rows(layout, state, imu_sel, gravity),
+        build_proj_rows(
+            layout, state, proj_sel, proj_sqrt_info, dep_sqrt_info, huber_delta
+        ),
+    ]
+    if prior is not None:
+        blocks.append(build_prior_rows(layout, state, prior))
+    rows = assemble_full_rows(tuple(blocks))
+
+    # --- normal equations over [dense D | landmark L] ----------------------
+    H = rows.J.T @ rows.J
+    g = rows.J.T @ rows.r
+    hll = jnp.zeros((L,), dtype).at[rows.lm].add(rows.Jl * rows.Jl)
+    gl = jnp.zeros((L,), dtype).at[rows.lm].add(rows.Jl * rows.r)
+    Hdl = jnp.zeros((L, D), dtype).at[rows.lm].add(rows.J * rows.Jl[:, None])
+
+    # --- eliminate removed landmarks (diagonal Schur) ----------------------
+    # all touched projection rows reference removed-anchor landmarks, so
+    # every nonzero landmark column here is a removed one.
+    hll_safe = jnp.where(hll > 0, hll, 1.0)
+    H1 = H - (Hdl / hll_safe[:, None]).T @ Hdl
+    g1 = g - Hdl.T @ (gl / hll_safe)
+
+    # --- eliminate removed frame dims (masked dense Schur) -----------------
+    col_removed = _frame_col_mask(layout, remove_frames, dtype)
+    m_r = col_removed
+    m_k = 1.0 - col_removed
+    # A = H over removed block, identity elsewhere -> block-diag, invertible
+    A = H1 * m_r[:, None] * m_r[None, :] + jnp.diag(m_k) \
+        + jnp.asarray(1e-10, dtype) * jnp.diag(m_r)
+    A_inv = jnp.linalg.inv(A)
+    Hkr = H1 * m_k[:, None] * m_r[None, :]
+    H_new = H1 * m_k[:, None] * m_k[None, :] - Hkr @ A_inv @ Hkr.T
+    g_new = g1 * m_k - Hkr @ (A_inv @ (g1 * m_r))
+
+    # --- square root -> prior rows ----------------------------------------
+    H_new = 0.5 * (H_new + H_new.T)
+    evals, evecs = jnp.linalg.eigh(H_new)
+    good = evals > eig_eps
+    s = jnp.sqrt(jnp.where(good, evals, 1.0))
+    J_prior = (evecs * jnp.where(good, s, 0.0)[None, :]).T  # [D, D] rows
+    # linear residual model: r(x) = J (x [-] x0) + r0 with J^T r0 = g
+    r_prior = jnp.where(good, (evecs.T @ g_new) / s, 0.0)
+
+    return PriorBlock(
+        J=J_prior,
+        r=r_prior,
+        lin=state,
+        row_valid=good,
+    )
+
+
+def _frame_col_mask(layout: VIOLayout, remove_frames, dtype):
+    """[D_pad] float mask: 1.0 on columns of removed frames."""
+    per_frame = jnp.repeat(remove_frames.astype(dtype), 15)  # [15W]
+    m = jnp.zeros((layout.D_pad,), dtype)
+    return m.at[: 15 * layout.W].set(per_frame)
+
+
+def make_pose_prior(
+    layout: VIOLayout,
+    state: VIOState,
+    frame: int,
+    pos_sqrt_info: float = 100.0,
+    rot_sqrt_info: float = 100.0,
+) -> PriorBlock:
+    """Strong pose prior pinning one frame — the gauge anchor.
+
+    TPU equivalent of the reference's first-frame prior
+    (d2vins/src/estimator/d2vinsstate.cpp:503-555
+    createPriorFactor4FirstFrame: the main drone's first frame gets a
+    stiff pose prior establishing the reference-frame gauge).
+    """
+    dtype = state.poses.dtype
+    D = layout.D_pad
+    J = jnp.zeros((D, D), dtype)
+    c0 = 15 * frame
+    w = jnp.concatenate(
+        [jnp.full((3,), pos_sqrt_info), jnp.full((3,), rot_sqrt_info)]
+    ).astype(dtype)
+    J = J.at[c0 : c0 + 6, c0 : c0 + 6].set(jnp.diag(w))
+    row_valid = jnp.zeros((D,), bool).at[c0 : c0 + 6].set(True)
+    return PriorBlock(J=J, r=jnp.zeros((D,), dtype), lin=state, row_valid=row_valid)
+
+
+# ---------------------------------------------------------------------------
+# Host-side prior column maintenance across window shifts
+# ---------------------------------------------------------------------------
+
+
+def permute_prior_frames(
+    layout: VIOLayout, prior: PriorBlock, slot_map
+) -> PriorBlock:
+    """Re-map prior columns and linearization state after window slots move.
+
+    slot_map: length-W int array; ``slot_map[new] = old`` (use -1 for
+    slots that have no predecessor — their columns become zero and their
+    lin entries are reset). Extrinsic/td columns are unchanged.
+    """
+    import numpy as np
+
+    slot_map = np.asarray(slot_map)
+    D = layout.D_pad
+    col_src = np.arange(D)
+    col_keep = np.ones(D, bool)
+    for new in range(layout.W):
+        old = slot_map[new]
+        dst = slice(15 * new, 15 * new + 15)
+        if old < 0:
+            col_keep[dst] = False
+            col_src[dst] = 0
+        else:
+            col_src[dst] = np.arange(15 * old, 15 * old + 15)
+    J = np.asarray(prior.J)[:, col_src] * col_keep[None, :]
+
+    lin = prior.lin
+    poses = np.asarray(lin.poses)
+    sb = np.asarray(lin.sb)
+    fv = np.asarray(lin.frame_valid)
+    new_poses, new_sb = np.array(poses), np.array(sb)
+    new_fv = np.zeros_like(fv)
+    for new in range(layout.W):
+        old = slot_map[new]
+        if old >= 0:
+            new_poses[new], new_sb[new] = poses[old], sb[old]
+            new_fv[new] = fv[old]
+        else:
+            new_poses[new] = [0, 0, 0, 0, 0, 0, 1]
+            new_sb[new] = 0
+            new_fv[new] = False
+    new_lin = lin._replace(
+        poses=jnp.asarray(new_poses),
+        sb=jnp.asarray(new_sb),
+        frame_valid=jnp.asarray(new_fv),
+    )
+    return prior._replace(J=jnp.asarray(J), lin=new_lin)
