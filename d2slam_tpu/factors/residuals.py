@@ -92,8 +92,10 @@ def imu_sqrt_info(covariance, jitter=1e-12):
     eye = jnp.eye(n, dtype=covariance.dtype)
     # jitter scaled to the covariance magnitude (eigenvalues span ~9
     # decades after a short interval; an absolute floor would distort
-    # the stiff modes)
-    scale = jnp.trace(covariance) / n
+    # the stiff modes). The tiny absolute term keeps the result finite
+    # for all-zero covariances (empty padded intervals — their rows are
+    # masked later, but NaN * 0 would still poison the system).
+    scale = jnp.trace(covariance) / n + jnp.asarray(1e-12, covariance.dtype)
     L = jnp.linalg.cholesky(covariance + jitter * scale * eye)
     # covariance^{-1} = L^{-T} L^{-1}; S = L^{-1} (lower) satisfies
     # S^T S = L^{-T} L^{-1}. Any square root is valid for least squares.

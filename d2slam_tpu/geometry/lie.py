@@ -211,7 +211,10 @@ def quat_average(qs, weights=None):
     w = weights / jnp.maximum(jnp.sum(weights), jnp.finfo(qs.dtype).tiny)
     M = jnp.einsum("n,ni,nj->ij", w, qs, qs)
     # Principal eigenvector by a few power iterations (M is 4x4 PSD).
-    v = jnp.ones((4,), dtype=qs.dtype)
+    # Seed from M itself (not a fresh constant) so the carry inherits
+    # M's device-varying type under shard_map, and add a tiny constant
+    # to avoid a zero seed when M is near-diagonal.
+    v = jnp.sum(M, axis=1) + jnp.full((4,), 1e-3, qs.dtype)
     def body(_, v):
         v = M @ v
         return v / jnp.maximum(jnp.linalg.norm(v), jnp.finfo(qs.dtype).tiny)

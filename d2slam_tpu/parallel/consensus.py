@@ -1,0 +1,170 @@
+"""Consensus-ADMM multi-robot VIO as collectives over the robot mesh.
+
+Re-expresses the reference's synchronous ConsensusSolver
+(reference: d2common/src/solver/ConsensusSolver.cpp:39-228) in SPMD
+form. One ADMM round on every robot simultaneously:
+
+  1. **global averaging** of each shared frame pose across the robots
+     that estimate it — position by masked ``psum`` mean, orientation by
+     Markley quaternion averaging over ``all_gather``-ed copies
+     (reference updateGlobal / average_pose :166-228);
+  2. **dual update** ``tilde += (1+alpha) * (local [-] global)`` in the
+     tangent space (reference updateTilde :108-164);
+  3. **local solve** with per-frame consensus penalty factors
+     (reference ConsenusPoseFactor) appended to the window problem.
+
+The reference's sync-token handshake (DSolverReady/DSolverStart,
+d2estimator.cpp:438-492) disappears: SPMD collectives are inherently
+synchronized. Robots signal non-participation through the masks
+instead of by staying silent on the network.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from d2slam_tpu.factors.residuals import consensus_pose_residual
+from d2slam_tpu.geometry.lie import (
+    pose_boxminus,
+    pose_boxplus,
+    quat_average,
+)
+from d2slam_tpu.solver.layout import VIOLayout
+from d2slam_tpu.solver.state import ImuMeas, PriorBlock, ProjMeas, VIOState
+from d2slam_tpu.solver.vio_assembly import RowBlock
+
+
+def consensus_average(poses, est_mask, axis_name: str):
+    """Average pose estimates across the robot axis.
+
+    Args:
+      poses: [W, 7] this robot's estimates of the shared frames.
+      est_mask: [W] bool — True where this robot estimates that frame.
+    Returns: [W, 7] the consensus ("global") poses. Frames nobody
+    estimates come back as this robot's own values.
+    """
+    dtype = poses.dtype
+    w = est_mask.astype(dtype)
+    n = jax.lax.psum(w, axis_name)  # [W]
+    n_safe = jnp.maximum(n, 1.0)
+    p_avg = jax.lax.psum(poses[:, :3] * w[:, None], axis_name) / n_safe[:, None]
+
+    qs = jax.lax.all_gather(poses[:, 3:], axis_name)  # [R, W, 4]
+    ws = jax.lax.all_gather(w, axis_name)  # [R, W]
+    q_avg = jax.vmap(quat_average, in_axes=(1, 1))(qs, ws)  # [W, 4]
+
+    avg = jnp.concatenate([p_avg, q_avg], axis=-1)
+    return jnp.where((n > 0)[:, None], avg, poses)
+
+
+def dual_update(local_poses, global_poses, tilde, est_mask, alpha=0.0):
+    """ADMM scaled-dual update in the tangent space (reference
+    updateTilde: tilde += (1+alpha) * logm(global^-1 * local), split
+    into translation-in-ref-frame and rotation parts to match
+    ConsenusPoseFactor's residual convention)."""
+    from d2slam_tpu.geometry.lie import quat_conj, quat_mul, quat_normalize, quat_rotate, so3_log_quat
+
+    def one(lp, gp, t):
+        q_ref = quat_normalize(gp[3:])
+        dt_ref = quat_rotate(quat_conj(q_ref), lp[:3] - gp[:3])
+        q_err = quat_mul(quat_conj(q_ref), quat_normalize(lp[3:]))
+        dtheta = 2.0 * q_err[:3]
+        return t + (1.0 + alpha) * jnp.concatenate([dt_ref, dtheta])
+
+    new_tilde = jax.vmap(one)(local_poses, global_poses, tilde)
+    return jnp.where(est_mask[:, None], new_tilde, tilde)
+
+
+def build_consensus_rows(
+    layout: VIOLayout,
+    state: VIOState,
+    ref_poses,   # [W, 7]
+    tilde,       # [W, 6]
+    active,      # [W] bool
+    rho_T: float,
+    rho_theta: float,
+) -> RowBlock:
+    """Per-frame consensus penalty rows in the solver layout."""
+    dtype = state.poses.dtype
+    D = layout.D_pad
+
+    def one(w, pose, ref, t, act):
+        def f(d):
+            return consensus_pose_residual(
+                pose_boxplus(pose, d), ref, t[:3], t[3:], rho_T, rho_theta
+            )
+
+        z = jnp.zeros((6,), dtype)
+        r = f(z)
+        J = jax.jacfwd(f)(z)  # [6, 6]
+        row = jnp.zeros((6, D), dtype)
+        cols6 = jnp.arange(6, dtype=jnp.int32)
+        row = row.at[:, 15 * w + cols6].add(J)
+        wgt = act.astype(dtype)
+        return r * wgt, row * wgt
+
+    W = layout.W
+    act = active & state.frame_valid
+    r, rows = jax.vmap(one)(
+        jnp.arange(W, dtype=jnp.int32), state.poses, ref_poses, tilde, act
+    )
+    N = W * 6
+    r = r.reshape(N)
+    return RowBlock(
+        J=rows.reshape(N, D),
+        r=r,
+        Jl=jnp.zeros((N,), dtype),
+        lm=jnp.zeros((N,), jnp.int32),
+        lm_used=jnp.zeros((N,), bool),
+        cost=0.5 * r**2,
+    )
+
+
+class ConsensusCarry(NamedTuple):
+    state: VIOState
+    tilde: jax.Array  # [W, 6]
+
+
+def admm_vio_round(
+    layout: VIOLayout,
+    carry: ConsensusCarry,
+    imu: ImuMeas,
+    proj: ProjMeas,
+    prior: Optional[PriorBlock],
+    *,
+    axis_name: str,
+    est_mask,           # [W] bool: frames this robot estimates
+    gravity,
+    col_free,
+    proj_sqrt_info: float,
+    rho_T: float = 100.0,
+    rho_theta: float = 100.0,
+    alpha: float = 0.0,
+    max_iters: int = 4,
+    dep_sqrt_info: float = 20.0,
+    huber_delta: float = 1.0,
+):
+    """One synchronous ADMM round inside ``shard_map`` over ``robot``.
+
+    Mirrors ConsensusSolver::solve (ConsensusSolver.cpp:39-75):
+    broadcast+average (collectives) -> dual update -> local LM solve
+    with consensus penalties.
+    """
+    from d2slam_tpu.solver.lm import lm_solve_vio
+
+    state = carry.state
+    global_poses = consensus_average(state.poses, est_mask, axis_name)
+    tilde = dual_update(state.poses, global_poses, carry.tilde, est_mask, alpha)
+
+    new_state, report = lm_solve_vio(
+        layout, state, imu, proj, prior,
+        gravity=gravity, col_free=col_free,
+        proj_sqrt_info=proj_sqrt_info,
+        dep_sqrt_info=dep_sqrt_info, huber_delta=huber_delta,
+        max_iters=max_iters,
+        consensus=(global_poses, tilde, est_mask, rho_T, rho_theta),
+    )
+    return ConsensusCarry(state=new_state, tilde=tilde), report

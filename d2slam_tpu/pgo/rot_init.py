@@ -1,0 +1,101 @@
+"""Chordal (rotation-matrix) initialization for pose-graph optimization.
+
+Re-expresses the reference's distributed rotation initialization
+(reference: d2pgo/src/rot_init/rotation_initialization_base.hpp:89-215):
+relative-rotation measurements give linear constraints
+``R_a @ R_ab - R_b = 0`` on the 9 rotation-matrix entries per pose;
+fixed poses contribute prior rows. The reference assembles a sparse
+triplet system solved with SimplicialLLT; pose graphs at swarm scale
+(<= a few thousand poses) fit comfortably as a dense normal-equation
+Cholesky on TPU, batched over the 3 columns of the unknown matrices.
+Solutions are projected back to SO(3) by SVD (solveLinearRot:178-215).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from d2slam_tpu.geometry.lie import quat_to_rotmat, rotmat_to_quat
+
+
+def chordal_rotation_init(
+    poses,        # [N, 7] initial poses (rotations may be garbage)
+    valid,        # [N] bool
+    edge_i, edge_j,  # [E] int32
+    rel_q,        # [E, 4] measured relative rotations (xyzw)
+    edge_valid,   # [E] bool
+    fixed_mask,   # [N] bool — rotations held at their current value
+    fix_weight: float = 100.0,
+):
+    """Returns [N, 7] poses with rotations replaced by the chordal LS
+    solution (positions untouched; a subsequent PGO solve handles them).
+    """
+    dtype = poses.dtype
+    N = poses.shape[0]
+
+    R_meas = quat_to_rotmat(rel_q)  # [E, 3, 3]
+    w_e = edge_valid & valid[edge_i] & valid[edge_j]
+    w_e = w_e.astype(dtype)
+
+    # Unknown X: [N, 3, 3] with rows of R stacked; constraint per edge:
+    # X_a @ R_ab = X_b  ->  for each of 3 rows r of X: R_ab^T X_a[r] = X_b[r]
+    # Build normal equations over the 3N row-vectors (each 3-dim):
+    # dims: for pose n, row r -> unknown vector u_{n,r} in R^3.
+    # Edge contributes: || R_ab^T u_{a,r} - u_{b,r} ||^2 for r=0,1,2.
+    # We solve the 3 "r" systems jointly since the operator is the same.
+    # Assemble H [3N, 3N] blockwise (3x3 blocks), right-hand side from
+    # fixed-rotation priors.
+    H = jnp.zeros((3 * N, 3 * N), dtype)
+    b = jnp.zeros((3 * N, 3), dtype)  # three row-systems share H
+
+    A = R_meas.transpose(0, 2, 1)  # [E, 3, 3] = R_ab^T
+    I3 = jnp.eye(3, dtype=dtype)
+
+    # H_aa += A^T A ; H_bb += I ; H_ab -= A^T ; H_ba -= A
+    AtA = jnp.einsum("eij,eik->ejk", A, A) * w_e[:, None, None]
+    At = A.transpose(0, 2, 1) * w_e[:, None, None]
+    ii = 3 * edge_i
+    jj = 3 * edge_j
+
+    def scatter_block(H, rows, cols, blocks):
+        # H[rows[e]+a, cols[e]+b] += blocks[e, a, b]
+        a3 = jnp.arange(3, dtype=rows.dtype)
+        rr = jnp.broadcast_to(rows[:, None, None] + a3[None, :, None], blocks.shape)
+        cc = jnp.broadcast_to(cols[:, None, None] + a3[None, None, :], blocks.shape)
+        return H.at[rr.reshape(-1), cc.reshape(-1)].add(blocks.reshape(-1))
+
+    H = scatter_block(H, ii, ii, AtA)
+    H = scatter_block(
+        H, jj, jj, jnp.broadcast_to(I3, AtA.shape) * w_e[:, None, None]
+    )
+    H = scatter_block(H, ii, jj, -At)
+    H = scatter_block(H, jj, ii, -At.transpose(0, 2, 1))
+
+    # priors on fixed rotations: weight * || u_{n,r} - R_n[r] ||^2
+    R0 = quat_to_rotmat(poses[:, 3:])  # [N, 3, 3]
+    wf = (fixed_mask & valid).astype(dtype) * fix_weight
+    diag_add = jnp.repeat(wf, 3)
+    H = H + jnp.diag(diag_add)
+    # unknown index 3n+i is component i of u_{n,r} (r = which row-system),
+    # so the prior RHS needs R0[n, r, i] laid out as b[3n+i, r] — the
+    # per-pose blocks transpose
+    b = b + (R0.transpose(0, 2, 1) * wf[:, None, None]).reshape(N * 3, 3)
+    # tiny regularization for invalid/unconstrained poses
+    inactive = 1.0 - jnp.repeat(valid.astype(dtype), 3)
+    H = H + jnp.diag(inactive + jnp.asarray(1e-9, dtype))
+
+    chol = jax.scipy.linalg.cho_factor(H)
+    X = jax.scipy.linalg.cho_solve(chol, b)  # [3N, 3]; X[3n+i, r] = R_n[r, i]
+    R_sol = X.reshape(N, 3, 3).transpose(0, 2, 1)
+
+    # SVD projection to SO(3)
+    def project(R):
+        U, _, Vt = jnp.linalg.svd(R)
+        det = jnp.linalg.det(U @ Vt)
+        S = jnp.diag(jnp.array([1.0, 1.0, 1.0], dtype)).at[2, 2].set(det)
+        return U @ S @ Vt
+
+    R_proj = jax.vmap(project)(R_sol)
+    q_new = rotmat_to_quat(R_proj)
+    q_out = jnp.where(valid[:, None], q_new, poses[:, 3:])
+    return jnp.concatenate([poses[:, :3], q_out], axis=-1)

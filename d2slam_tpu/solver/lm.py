@@ -66,12 +66,17 @@ def lm_solve_vio(
     lambda_init: float = 1e-6,
     lambda_scale_up: float = 10.0,
     lambda_scale_down: float = 0.25,
+    consensus=None,
 ):
     """Run LM on the sliding window. Returns (new_state, SolveReport).
 
     col_free: [D_pad] bool mask of free tangent columns (gauge fixing,
     disabled extrinsic/td estimation, padding). Fixed columns get an
     identity diagonal so the system stays well-posed.
+
+    consensus: optional ``(ref_poses [W,7], tilde [W,6], active [W],
+    rho_T, rho_theta)`` — appends per-frame ADMM consensus penalty rows
+    (reference ConsenusPoseFactor), re-linearized each iteration.
     """
     dtype = state.poses.dtype
     D = layout.D_pad
@@ -85,6 +90,15 @@ def lm_solve_vio(
         ]
         if prior is not None:
             blocks.append(build_prior_rows(layout, s, prior))
+        if consensus is not None:
+            from d2slam_tpu.parallel.consensus import build_consensus_rows
+
+            ref_poses, tilde, active, rho_T, rho_theta = consensus
+            blocks.append(
+                build_consensus_rows(
+                    layout, s, ref_poses, tilde, active, rho_T, rho_theta
+                )
+            )
         return assemble_full_rows(tuple(blocks))
 
     def total_cost(rows: RowBlock):
@@ -133,10 +147,14 @@ def lm_solve_vio(
 
     rows0 = build(state)
     cost0 = total_cost(rows0)
-    lam0 = jnp.asarray(lambda_init, dtype)
+    # derive the scalar carries from the state so they share its
+    # device-varying type under shard_map (a plain constant would be
+    # "replicated" and trip the scan carry type check on the robot mesh)
+    vzero = jnp.sum(state.poses) * 0.0
+    lam0 = jnp.asarray(lambda_init, dtype) + vzero
     (final_state, final_cost, _, accepted, change), _ = jax.lax.scan(
         iteration,
-        (state, cost0, lam0, jnp.zeros((), jnp.int32), jnp.zeros((), dtype)),
+        (state, cost0, lam0, vzero.astype(jnp.int32), vzero),
         None,
         length=max_iters,
     )

@@ -1,0 +1,90 @@
+"""Numpy quaternion/pose helpers for HOST-side code paths.
+
+Host orchestration (scene generation, landmark bookkeeping, window
+management) must not issue eager jnp ops: when the default backend is a
+remote TPU, every eager op is a device round-trip — thousands of them
+turn milliseconds of numpy into minutes of tunnel latency. Same
+conventions as geometry.lie (quaternions xyzw, pose [p(3), q(4)]).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def quat_mul(q1, q2):
+    x1, y1, z1, w1 = q1
+    x2, y2, z2, w2 = q2
+    return np.array(
+        [
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+        ]
+    )
+
+
+def quat_conj(q):
+    return np.array([-q[0], -q[1], -q[2], q[3]])
+
+
+def quat_to_rotmat(q):
+    x, y, z, w = q
+    return np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ]
+    )
+
+
+def rotmat_to_quat(R):
+    tr = R[0, 0] + R[1, 1] + R[2, 2]
+    if tr > 0:
+        s = np.sqrt(tr + 1.0) * 2
+        q = np.array(
+            [(R[2, 1] - R[1, 2]) / s, (R[0, 2] - R[2, 0]) / s,
+             (R[1, 0] - R[0, 1]) / s, 0.25 * s]
+        )
+    elif R[0, 0] >= R[1, 1] and R[0, 0] >= R[2, 2]:
+        s = np.sqrt(1.0 + R[0, 0] - R[1, 1] - R[2, 2]) * 2
+        q = np.array(
+            [0.25 * s, (R[0, 1] + R[1, 0]) / s, (R[0, 2] + R[2, 0]) / s,
+             (R[2, 1] - R[1, 2]) / s]
+        )
+    elif R[1, 1] >= R[2, 2]:
+        s = np.sqrt(1.0 + R[1, 1] - R[0, 0] - R[2, 2]) * 2
+        q = np.array(
+            [(R[0, 1] + R[1, 0]) / s, 0.25 * s, (R[1, 2] + R[2, 1]) / s,
+             (R[0, 2] - R[2, 0]) / s]
+        )
+    else:
+        s = np.sqrt(1.0 + R[2, 2] - R[0, 0] - R[1, 1]) * 2
+        q = np.array(
+            [(R[0, 2] + R[2, 0]) / s, (R[1, 2] + R[2, 1]) / s, 0.25 * s,
+             (R[1, 0] - R[0, 1]) / s]
+        )
+    q = q / np.linalg.norm(q)
+    return q if q[3] >= 0 else -q
+
+
+def quat_rotate(q, v):
+    qv, qw = q[:3], q[3]
+    t = 2.0 * np.cross(qv, v)
+    return v + qw * t + np.cross(qv, t)
+
+
+def pose_compose(a, b):
+    return np.concatenate(
+        [a[:3] + quat_rotate(a[3:], b[:3]), quat_mul(a[3:], b[3:])]
+    )
+
+
+def pose_inverse(a):
+    qi = quat_conj(a[3:] / np.linalg.norm(a[3:]))
+    return np.concatenate([-quat_rotate(qi, a[:3]), qi])
+
+
+def pose_apply(a, x):
+    return quat_rotate(a[3:], x) + a[:3]

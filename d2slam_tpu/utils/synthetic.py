@@ -13,13 +13,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from d2slam_tpu.geometry.lie import (
-    pose_compose,
-    quat_conj,
-    quat_mul,
-    quat_rotate,
-    quat_to_rotmat,
-)
+from d2slam_tpu.utils import np_lie
 from d2slam_tpu.imu.preintegration import default_noise_matrix, preintegrate
 from d2slam_tpu.factors.residuals import imu_sqrt_info
 from d2slam_tpu.solver.layout import VIOLayout
@@ -76,9 +70,7 @@ def make_circle_scene(
     # R_bc maps camera frame (z forward, x right, y down) to body (x fwd,
     # y left, z up)
     R_bc = np.array([[0.0, 0, 1], [-1, 0, 0], [0, -1, 0]])
-    from d2slam_tpu.geometry.lie import rotmat_to_quat
-
-    q_bc = np.asarray(rotmat_to_quat(jnp.asarray(R_bc)))
+    q_bc = np_lie.rotmat_to_quat(R_bc)
     ext = np.zeros((layout.C, 7))
     ext[0] = np.concatenate([[0.0, baseline / 2, 0.0], q_bc])
     ext[1] = np.concatenate([[0.0, -baseline / 2, 0.0], q_bc])
@@ -92,13 +84,11 @@ def make_circle_scene(
 
     # ---------------- observations ----------------
     def cam_pose(fk, ck):
-        return np.asarray(
-            pose_compose(jnp.asarray(poses[fk]), jnp.asarray(ext[ck]))
-        )
+        return np_lie.pose_compose(poses[fk], ext[ck])
 
     def ray(fk, ck, pw):
         T = cam_pose(fk, ck)
-        R = np.asarray(quat_to_rotmat(jnp.asarray(T[3:])))
+        R = np_lie.quat_to_rotmat(T[3:])
         pc = R.T @ (pw - T[:3])
         d = np.linalg.norm(pc)
         return pc / d, d, pc[2] > 0.5  # in front of camera
@@ -160,7 +150,7 @@ def make_circle_scene(
         for i in range(nk + 1):
             t = t0 + i / imu_hz
             p, v, a, q = circle_gt(t)
-            R = np.asarray(quat_to_rotmat(jnp.asarray(q)))
+            R = np_lie.quat_to_rotmat(q)
             acc_b = R.T @ (a + GRAVITY)  # specific force (gravity pos-up)
             gyr_b = np.array([0.0, 0.0, omega])
             if imu_acc_noise > 0:

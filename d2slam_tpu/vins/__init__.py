@@ -1,0 +1,2 @@
+from d2slam_tpu.vins.types import FrontendFrame, CameraObservations, Odometry
+from d2slam_tpu.vins.estimator import D2Estimator

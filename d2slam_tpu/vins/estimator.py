@@ -1,0 +1,522 @@
+"""Sliding-window visual-inertial estimator (single-robot core).
+
+TPU-native re-design of the reference D2Estimator
+(reference: d2vins/src/estimator/d2estimator.cpp): all data-dependent
+control flow — keyframe/window management, landmark bookkeeping,
+triangulation, outlier decisions — lives on the host in this class;
+the numeric hot path (preintegration, factor linearization, LM solve,
+marginalization) is jitted fixed-shape device code from
+``d2slam_tpu.solver``.
+
+Window semantics follow the reference:
+  * frames append until ``max_sld_win_size``; then either the
+    second-newest non-keyframe is dropped (its IMU merges into the next
+    interval — here simply re-sliced from the raw buffer), or the oldest
+    keyframe is marginalized into the dense prior
+    (reference: d2vins/src/estimator/d2vinsstate.cpp:294-320
+    clearUselessFrames).
+  * the first frame carries a stiff pose prior as the gauge anchor
+    (reference: d2vinsstate.cpp:503-555).
+  * first-pose initialization aligns attitude with the mean IMU
+    acceleration and seeds the gyro bias
+    (reference: d2estimator.cpp:74-121 tryinitFirstPose).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from d2slam_tpu.config import D2Config
+from d2slam_tpu.utils import np_lie
+from d2slam_tpu.imu.buffer import IMUBuffer
+from d2slam_tpu.imu.preintegration import (
+    default_noise_matrix,
+    imu_propagate_pose,
+    preintegrate,
+)
+from d2slam_tpu.factors.residuals import imu_sqrt_info
+from d2slam_tpu.solver.layout import VIOLayout
+from d2slam_tpu.solver.lm import lm_solve_vio
+from d2slam_tpu.solver.marginalization import (
+    make_pose_prior,
+    marginalize,
+    permute_prior_frames,
+)
+from d2slam_tpu.solver.state import ImuMeas, PriorBlock, ProjMeas, VIOState
+from d2slam_tpu.vins.landmark_manager import (
+    ESTIMATED,
+    INITIALIZED,
+    LandmarkManager,
+)
+from d2slam_tpu.vins.types import FrontendFrame, Odometry
+
+
+class WindowFrame:
+    __slots__ = ("frame_id", "stamp", "is_keyframe")
+
+    def __init__(self, frame_id, stamp, is_keyframe):
+        self.frame_id = frame_id
+        self.stamp = stamp
+        self.is_keyframe = is_keyframe
+
+
+class D2Estimator:
+    def __init__(self, config: D2Config, extrinsics: np.ndarray):
+        self.cfg = config
+        e = config.estimator
+        self.dtype = jnp.float64 if config.dtype == "float64" else jnp.float32
+        self.layout = VIOLayout(
+            W=e.max_sld_win_size,
+            C=config.num_cams,
+            L=e.max_lm_slots,
+            M=e.max_solve_measurements,
+            N_IMU_SAMPLES=e.max_imu_samples,
+        )
+        self.gravity = jnp.asarray([0.0, 0.0, config.imu.g_norm], self.dtype)
+        self.noise = default_noise_matrix(
+            config.imu.acc_n, config.imu.gyr_n, config.imu.acc_w,
+            config.imu.gyr_w, dtype=self.dtype,
+        )
+        self.imubuf = IMUBuffer()
+        self.lmanager = LandmarkManager(
+            min_depth=e.min_depth, max_depth=e.max_depth,
+            min_baseline=e.min_triangulate_baseline,
+            tri_max_err=e.triangulate_max_err,
+        )
+        self.frames: List[WindowFrame] = []
+        self.state = VIOState.zeros(self.layout, self.dtype)
+        self.state = self.state._replace(ext=jnp.asarray(extrinsics, self.dtype))
+        self.fej_poses = np.zeros((self.layout.W, 7))
+        self.fej_sb = np.zeros((self.layout.W, 9))
+        self.prior: Optional[PriorBlock] = None
+        self.initialized = False
+        self.solve_count = 0
+        self.margin_count = 0
+        self.lm_slot_of: Dict[int, int] = {}
+
+        psi = e.focal_length / 1.5
+        self._solve = jax.jit(
+            functools.partial(
+                lm_solve_vio,
+                self.layout,
+                gravity=self.gravity,
+                proj_sqrt_info=psi,
+                dep_sqrt_info=e.depth_sqrt_inf,
+                huber_delta=e.huber_delta,
+                max_iters=e.max_solver_iters,
+            )
+        )
+        self._marginalize = jax.jit(
+            functools.partial(
+                marginalize,
+                self.layout,
+                gravity=self.gravity,
+                proj_sqrt_info=psi,
+                dep_sqrt_info=e.depth_sqrt_inf,
+                huber_delta=e.huber_delta,
+            )
+        )
+        self._preintegrate = jax.jit(
+            jax.vmap(preintegrate, in_axes=(0, 0, 0, 0, 0, 0, None))
+        )
+
+    # ------------------------------------------------------------------
+    # inputs
+    # ------------------------------------------------------------------
+
+    def input_imu(self, t: float, acc, gyr) -> None:
+        self.imubuf.add(t, acc, gyr)
+
+    def input_frame(self, frame: FrontendFrame) -> Optional[Odometry]:
+        """Process one keyframe worth of landmark observations."""
+        if not self.imubuf.available(frame.stamp):
+            # reference spins waiting for IMU (d2estimator.cpp:338-342);
+            # here the caller must feed IMU first
+            raise ValueError(
+                f"IMU not available up to t={frame.stamp:.3f} "
+                f"(buffer ends {self.imubuf.t_last:.3f})"
+            )
+        if not self.initialized:
+            if not self._try_init_first_pose(frame):
+                return None
+        else:
+            self._add_frame(frame)
+
+        self._ingest_observations(frame)
+
+        if len(self.frames) >= self.cfg.estimator.min_solve_frames:
+            self._solve_window()
+
+        self._manage_window()
+        w = len(self.frames) - 1
+        return Odometry(
+            stamp=frame.stamp,
+            pose=np.asarray(self.state.poses[w]),
+            vel=np.asarray(self.state.sb[w, :3]),
+        )
+
+    # ------------------------------------------------------------------
+    # initialization & frame addition
+    # ------------------------------------------------------------------
+
+    def _try_init_first_pose(self, frame: FrontendFrame) -> bool:
+        if len(self.imubuf) < 10:
+            return False
+        acc = self.imubuf.mean_acc()
+        gyr = self.imubuf.mean_gyro()
+        # attitude aligning measured specific force with world +z
+        a = acc / np.linalg.norm(acc)
+        up = np.array([0.0, 0.0, 1.0])
+        v = np.cross(a, up)
+        s = np.linalg.norm(v)
+        c = float(a @ up)
+        if s < 1e-9:
+            R = np.eye(3) if c > 0 else -np.eye(3)
+        else:
+            vx = np.array([[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0]])
+            R = np.eye(3) + vx + vx @ vx * ((1 - c) / (s * s))
+        q0 = np_lie.rotmat_to_quat(R)
+        pose0 = np.concatenate([[0.0, 0.0, 0.0], q0])
+        sb0 = np.concatenate([[0.0, 0.0, 0.0], [0, 0, 0], gyr])
+
+        self.frames.append(WindowFrame(frame.frame_id, frame.stamp, True))
+        poses = np.asarray(self.state.poses).copy()
+        sb = np.asarray(self.state.sb).copy()
+        poses[0], sb[0] = pose0, sb0
+        fv = np.zeros(self.layout.W, bool)
+        fv[0] = True
+        self.state = self.state._replace(
+            poses=jnp.asarray(poses, self.dtype),
+            sb=jnp.asarray(sb, self.dtype),
+            frame_valid=jnp.asarray(fv),
+        )
+        self.fej_poses[0], self.fej_sb[0] = pose0, sb0
+        self.prior = make_pose_prior(self.layout, self.state, frame=0)
+        self.initialized = True
+        return True
+
+    def _add_frame(self, frame: FrontendFrame) -> None:
+        w_prev = len(self.frames) - 1
+        prev = self.frames[w_prev]
+        assert len(self.frames) < self.layout.W, "window overflow"
+        # motion prediction: propagate pose/vel through the interval
+        dts, accs, gyrs, mask = self.imubuf.period(
+            prev.stamp, frame.stamp, self.layout.N_IMU_SAMPLES
+        )
+        pose_prev = self.state.poses[w_prev]
+        sb_prev = np.asarray(self.state.sb[w_prev])
+        new_pose, new_vel = imu_propagate_pose(
+            pose_prev,
+            jnp.asarray(sb_prev[:3], self.dtype),
+            jnp.asarray(sb_prev[3:6], self.dtype),
+            jnp.asarray(sb_prev[6:9], self.dtype),
+            jnp.asarray(dts, self.dtype), jnp.asarray(accs, self.dtype),
+            jnp.asarray(gyrs, self.dtype), jnp.asarray(mask),
+            -self.gravity,
+        )
+        w = len(self.frames)
+        self.frames.append(
+            WindowFrame(frame.frame_id, frame.stamp, frame.is_keyframe)
+        )
+        poses = np.asarray(self.state.poses).copy()
+        sb = np.asarray(self.state.sb).copy()
+        poses[w] = np.asarray(new_pose)
+        sb[w] = np.concatenate([np.asarray(new_vel), sb_prev[3:9]])
+        fv = np.asarray(self.state.frame_valid).copy()
+        fv[w] = True
+        self.state = self.state._replace(
+            poses=jnp.asarray(poses, self.dtype),
+            sb=jnp.asarray(sb, self.dtype),
+            frame_valid=jnp.asarray(fv),
+        )
+        self.fej_poses[w], self.fej_sb[w] = poses[w], sb[w]
+
+    def _ingest_observations(self, frame: FrontendFrame) -> None:
+        for co in frame.observations:
+            depths = co.depths if co.depths is not None else -np.ones(len(co.landmark_ids))
+            for i, lid in enumerate(co.landmark_ids):
+                self.lmanager.add_observation(
+                    int(lid), frame.frame_id, co.cam_id,
+                    co.rays[i], co.ray_vels[i], float(depths[i]),
+                )
+
+    # ------------------------------------------------------------------
+    # measurement assembly
+    # ------------------------------------------------------------------
+
+    def _slot_of_frame(self) -> Dict[int, int]:
+        return {f.frame_id: w for w, f in enumerate(self.frames)}
+
+    def _cam_pose_of(self):
+        slots = self._slot_of_frame()
+        poses = np.asarray(self.state.poses)
+        ext = np.asarray(self.state.ext)
+
+        def f(frame_id, cam_id):
+            w = slots.get(frame_id)
+            if w is None:
+                return None
+            return np_lie.pose_compose(poses[w], ext[cam_id])
+
+        return f
+
+    def _build_measurements(self):
+        e = self.cfg.estimator
+        layout = self.layout
+        slots = self._slot_of_frame()
+
+        # ---------------- IMU intervals ----------------
+        K = layout.W - 1
+        n = layout.N_IMU_SAMPLES
+        dts = np.zeros((K, n))
+        accs = np.zeros((K, n, 3))
+        gyrs = np.zeros((K, n, 3))
+        mask = np.zeros((K, n), bool)
+        valid = np.zeros(K, bool)
+        for w in range(len(self.frames) - 1):
+            d, a, g, m = self.imubuf.period(
+                self.frames[w].stamp, self.frames[w + 1].stamp, n
+            )
+            dts[w], accs[w], gyrs[w], mask[w] = d, a, g, m
+            valid[w] = m.any()
+        sb = np.asarray(self.state.sb)
+        ba = jnp.asarray(sb[:K, 3:6], self.dtype)
+        bg = jnp.asarray(sb[:K, 6:9], self.dtype)
+        pre = self._preintegrate(
+            jnp.asarray(dts, self.dtype), jnp.asarray(accs, self.dtype),
+            jnp.asarray(gyrs, self.dtype), jnp.asarray(mask), ba, bg, self.noise
+        )
+        sqrt_infos = jax.vmap(imu_sqrt_info)(pre.covariance)
+        # belt-and-braces: zero (not just mask) invalid intervals so no
+        # non-finite values can enter the row assembly
+        sqrt_infos = jnp.where(
+            jnp.asarray(valid)[:, None, None], sqrt_infos, 0.0
+        )
+        imu = ImuMeas(
+            frame_i=jnp.arange(K, dtype=jnp.int32),
+            frame_j=jnp.arange(1, K + 1, dtype=jnp.int32),
+            valid=jnp.asarray(valid),
+            pre=pre,
+            sqrt_info=sqrt_infos,
+        )
+
+        # ---------------- landmarks / projections ----------------
+        self.lmanager.initial_landmarks(
+            self._cam_pose_of(), e.landmark_estimate_tracks
+        )
+        usable = self.lmanager.estimated_landmarks(e.landmark_estimate_tracks)
+        # keep in-window observations only; cap tau_l by track length
+        usable = [
+            lm for lm in usable if lm.anchor.frame_id in slots
+        ]
+        usable.sort(key=lambda lm: -lm.track_length())
+        usable = usable[: min(e.max_solve_cnt, layout.L)]
+
+        M = layout.M
+        pm = {
+            "frame_i": np.zeros(M, np.int32), "frame_j": np.zeros(M, np.int32),
+            "cam_i": np.zeros(M, np.int32), "cam_j": np.zeros(M, np.int32),
+            "lm": np.zeros(M, np.int32),
+            "ray_i": np.tile([0.0, 0, 1], (M, 1)), "ray_j": np.tile([0.0, 0, 1], (M, 1)),
+            "vel_i": np.zeros((M, 3)), "vel_j": np.zeros((M, 3)),
+            "td_i": np.zeros(M), "td_j": np.zeros(M), "dep_j": np.zeros(M),
+            "has_dep": np.zeros(M, bool), "valid": np.zeros(M, bool),
+        }
+        inv_dep = np.asarray(self.state.inv_dep).copy()
+        lm_valid = np.zeros(layout.L, bool)
+        self.lm_slot_of = {}
+        m = 0
+        for slot, lm in enumerate(usable):
+            if m >= M:
+                break
+            a = lm.anchor
+            fi = slots[a.frame_id]
+            self.lm_slot_of[lm.lm_id] = slot
+            lm_valid[slot] = True
+            inv_dep[slot] = lm.inv_dep
+            for o in lm.obs[1:]:
+                if o.frame_id not in slots or m >= M:
+                    continue
+                pm["frame_i"][m] = fi
+                pm["frame_j"][m] = slots[o.frame_id]
+                pm["cam_i"][m] = a.cam_id
+                pm["cam_j"][m] = o.cam_id
+                pm["lm"][m] = slot
+                pm["ray_i"][m] = a.ray
+                pm["ray_j"][m] = o.ray
+                pm["vel_i"][m] = a.ray_vel
+                pm["vel_j"][m] = o.ray_vel
+                if o.depth > 0:
+                    pm["dep_j"][m] = o.depth
+                    pm["has_dep"][m] = True
+                pm["valid"][m] = True
+                m += 1
+        proj = ProjMeas(**{
+            k: jnp.asarray(v, self.dtype) if v.dtype == np.float64 else jnp.asarray(v)
+            for k, v in pm.items()
+        })
+        self.state = self.state._replace(
+            inv_dep=jnp.asarray(inv_dep, self.dtype),
+            lm_valid=jnp.asarray(lm_valid),
+        )
+        return imu, proj
+
+    def _col_free(self) -> jnp.ndarray:
+        e = self.cfg.estimator
+        free = np.zeros(self.layout.D_pad, bool)
+        for w in range(len(self.frames)):
+            free[15 * w : 15 * w + 15] = True
+        if e.estimate_extrinsic:
+            free[15 * self.layout.W : 15 * self.layout.W + 6 * self.layout.C] = True
+        if e.estimate_td:
+            free[self.layout.td_col] = True
+        return jnp.asarray(free)
+
+    # ------------------------------------------------------------------
+    # solve & window management
+    # ------------------------------------------------------------------
+
+    def _solve_window(self):
+        imu, proj, = self._build_measurements()
+        self._last_meas = (imu, proj)
+        new_state, report = self._solve(
+            self.state, imu, proj, self.prior, col_free=self._col_free()
+        )
+        self.state = new_state
+        self.solve_count += 1
+        self.last_report = report
+        self._sync_back()
+
+    def _sync_back(self):
+        """Write solved landmark states back to the DB + outlier check
+        (reference d2vinsstate.cpp:557-592 syncFromState)."""
+        e = self.cfg.estimator
+        inv_dep = np.asarray(self.state.inv_dep)
+        cam_pose = self._cam_pose_of()
+        for lid, slot in self.lm_slot_of.items():
+            lm = self.lmanager.db.get(lid)
+            if lm is None:
+                continue
+            lm.inv_dep = float(inv_dep[slot])
+            a = lm.anchor
+            T = cam_pose(a.frame_id, a.cam_id)
+            if T is not None and lm.inv_dep > 1e-6:
+                from d2slam_tpu.vins.landmark_manager import _rotmat
+
+                lm.position = T[:3] + _rotmat(T[3:]) @ (a.ray / lm.inv_dep)
+                lm.flag = ESTIMATED
+        self.lmanager.outlier_rejection(
+            cam_pose, e.focal_length, e.outlier_reproject_px
+        )
+
+    def _manage_window(self):
+        if len(self.frames) < self.layout.W:
+            return
+        # reference clearUselessFrames: drop second-newest non-keyframe,
+        # else marginalize the oldest keyframe
+        second_newest = self.frames[-2]
+        if not second_newest.is_keyframe:
+            self._drop_frame(len(self.frames) - 2, marginalize_it=False)
+        else:
+            self._drop_frame(0, marginalize_it=True)
+
+    def _drop_frame(self, slot: int, marginalize_it: bool):
+        frame = self.frames[slot]
+        if marginalize_it and self.solve_count > 0:
+            remove = jnp.zeros(self.layout.W, bool).at[slot].set(True)
+            imu, proj = getattr(self, "_last_meas", (None, None))
+            if imu is not None:
+                marg_state = self._fej_marg_state()
+                self.prior = self._marginalize(
+                    marg_state, imu, proj, self.prior, remove
+                )
+                self.margin_count += 1
+        # host bookkeeping: landmarks & window shift
+        self.lmanager.pop_frame(frame.frame_id, self._cam_pose_of())
+        del self.frames[slot]
+        slot_map = list(range(self.layout.W))
+        del slot_map[slot]
+        slot_map.append(-1)
+        self._apply_slot_map(slot_map)
+
+    def _fej_marg_state(self) -> VIOState:
+        """State used for marginalization linearization: kept params at
+        their first-estimate (FEJ) values when enabled."""
+        if not self.cfg.estimator.enable_fej or self.prior is None:
+            return self.state
+        # reference replacetoPrevLinearizedPoints: params carried by the
+        # prior linearize at the prior's stored points; everything else
+        # (incl. the removed frame) at current values
+        poses = np.asarray(self.state.poses).copy()
+        sb = np.asarray(self.state.sb).copy()
+        plin_valid = np.asarray(self.prior.lin.frame_valid)
+        plin_poses = np.asarray(self.prior.lin.poses)
+        plin_sb = np.asarray(self.prior.lin.sb)
+        poses[plin_valid] = plin_poses[plin_valid]
+        sb[plin_valid] = plin_sb[plin_valid]
+        return self.state._replace(
+            poses=jnp.asarray(poses, self.dtype), sb=jnp.asarray(sb, self.dtype)
+        )
+
+    def _apply_slot_map(self, slot_map):
+        poses = np.asarray(self.state.poses)
+        sb = np.asarray(self.state.sb)
+        fv = np.asarray(self.state.frame_valid)
+        new_poses, new_sb, new_fv = poses.copy(), sb.copy(), fv.copy()
+        new_fej_p, new_fej_sb = self.fej_poses.copy(), self.fej_sb.copy()
+        for new, old in enumerate(slot_map):
+            if old < 0:
+                new_poses[new] = [0, 0, 0, 0, 0, 0, 1]
+                new_sb[new] = 0
+                new_fv[new] = False
+            else:
+                new_poses[new] = poses[old]
+                new_sb[new] = sb[old]
+                new_fv[new] = fv[old]
+                new_fej_p[new] = self.fej_poses[old]
+                new_fej_sb[new] = self.fej_sb[old]
+        self.state = self.state._replace(
+            poses=jnp.asarray(new_poses, self.dtype),
+            sb=jnp.asarray(new_sb, self.dtype),
+            frame_valid=jnp.asarray(new_fv),
+        )
+        self.fej_poses, self.fej_sb = new_fej_p, new_fej_sb
+        if self.prior is not None:
+            self.prior = permute_prior_frames(self.layout, self.prior, slot_map)
+
+    # ------------------------------------------------------------------
+    # outputs
+    # ------------------------------------------------------------------
+
+    def latest_odometry(self) -> Optional[Odometry]:
+        if not self.frames:
+            return None
+        w = len(self.frames) - 1
+        return Odometry(
+            stamp=self.frames[w].stamp,
+            pose=np.asarray(self.state.poses[w]),
+            vel=np.asarray(self.state.sb[w, :3]),
+        )
+
+    def imu_propagated_odometry(self, t: float) -> Optional[Odometry]:
+        """IMU-rate odometry ahead of the last keyframe (reference
+        inputImu publishing path, d2estimator.cpp:57-72)."""
+        if not self.frames:
+            return None
+        w = len(self.frames) - 1
+        f = self.frames[w]
+        dts, accs, gyrs, mask = self.imubuf.period(
+            f.stamp, t, self.layout.N_IMU_SAMPLES
+        )
+        sb = np.asarray(self.state.sb[w])
+        pose, vel = imu_propagate_pose(
+            self.state.poses[w], jnp.asarray(sb[:3], self.dtype),
+            jnp.asarray(sb[3:6], self.dtype), jnp.asarray(sb[6:9], self.dtype),
+            jnp.asarray(dts, self.dtype), jnp.asarray(accs, self.dtype),
+            jnp.asarray(gyrs, self.dtype), jnp.asarray(mask), -self.gravity,
+        )
+        return Odometry(stamp=t, pose=np.asarray(pose), vel=np.asarray(vel))

@@ -104,7 +104,7 @@ def test_prior_gauge_rank():
     # spurious information may appear there
     for w in range(2, 6):
         sb_cols = slice(15 * w + 6, 15 * w + 15)
-        assert np.abs(H[sb_cols, sb_cols]).max() < 1e-12
+        assert np.abs(H[sb_cols, sb_cols]).max() < 1e-8  # numerical crumbs only
     # but poses of later frames ARE constrained through frame-0-anchored
     # landmarks observed there
     H22 = H[15 * 2 : 15 * 2 + 6, 15 * 2 : 15 * 2 + 6]

@@ -1,0 +1,139 @@
+"""Pose-graph optimization: synthetic loop with odometry drift + loop
+closures; chordal init; g2o roundtrip."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from d2slam_tpu.geometry.lie import (
+    pose_boxminus,
+    pose_boxplus,
+    pose_compose,
+    pose_inverse,
+    quat_normalize,
+    so3_exp_quat,
+)
+from d2slam_tpu.pgo import (
+    PGOEdges,
+    PGOLayout,
+    PGOState,
+    chordal_rotation_init,
+    read_g2o,
+    solve_pgo,
+    write_g2o,
+)
+
+LAYOUT = PGOLayout(N=64, E=256, pose_dof=6)
+
+
+def make_loop_graph(n=40, odo_noise=0.02, rot_noise=0.01, seed=0, dtype=jnp.float64):
+    """Ground truth: circle of n poses; edges: odometry chain + closures."""
+    rng = np.random.default_rng(seed)
+    gt = np.zeros((LAYOUT.N, 7))
+    gt[:, 6] = 1
+    for k in range(n):
+        th = 2 * np.pi * k / n
+        q = np.array([0, 0, np.sin(th / 2), np.cos(th / 2)])
+        gt[k] = np.concatenate([[10 * np.cos(th), 10 * np.sin(th), 0.0], q])
+    valid = np.zeros(LAYOUT.N, bool)
+    valid[:n] = True
+
+    edges = []
+    for k in range(n - 1):
+        edges.append((k, k + 1))
+    # loop closures including the big loop
+    edges.append((n - 1, 0))
+    for k in range(0, n - 10, 7):
+        edges.append((k, k + 9))
+
+    E = PGOEdges.empty(LAYOUT, dtype)
+    em = {k: np.array(v) for k, v in E._asdict().items()}
+    for m, (i, j) in enumerate(edges):
+        rel = np.asarray(
+            pose_compose(pose_inverse(jnp.asarray(gt[i])), jnp.asarray(gt[j]))
+        )
+        noise = np.concatenate(
+            [rng.normal(0, odo_noise, 3), rng.normal(0, rot_noise, 3)]
+        )
+        rel = np.asarray(pose_boxplus(jnp.asarray(rel), jnp.asarray(noise)))
+        em["i"][m], em["j"][m] = i, j
+        em["rel"][m] = rel
+        em["valid"][m] = True
+    edges_t = PGOEdges(**{
+        k: jnp.asarray(v, dtype) if v.dtype == np.float64 else jnp.asarray(v)
+        for k, v in em.items()
+    })
+    return jnp.asarray(gt, dtype), jnp.asarray(valid), edges_t, n
+
+
+def accumulate_odometry(gt, edges, n):
+    """Drifted initial guess: compose odometry chain only."""
+    poses = np.asarray(gt).copy()
+    rel = np.asarray(edges.rel)
+    for k in range(1, n):
+        poses[k] = np.asarray(
+            pose_compose(jnp.asarray(poses[k - 1]), jnp.asarray(rel[k - 1]))
+        )
+    return jnp.asarray(poses, gt.dtype)
+
+
+def test_pgo_closes_loop():
+    gt, valid, edges, n = make_loop_graph()
+    init = accumulate_odometry(gt, edges, n)
+    drift0 = np.linalg.norm(np.asarray(init)[n - 1, :3] - np.asarray(gt)[n - 1, :3])
+    assert drift0 > 0.1  # odometry alone has drifted
+
+    state = PGOState(poses=init, valid=valid)
+    fixed = jnp.zeros(LAYOUT.N, bool).at[0].set(True)
+    new_state, rep = solve_pgo(LAYOUT, state, edges, fixed, max_iters=12)
+    assert float(rep.final_cost) < float(rep.initial_cost) * 0.1
+    err = np.asarray(jax.vmap(pose_boxminus)(new_state.poses, gt))[: n]
+    # optimized graph should be near GT (noise-limited)
+    assert np.abs(err[:, :3]).max() < 0.25, f"{np.abs(err[:, :3]).max()}"  # noise-limited
+
+
+def test_pgo_4dof():
+    layout = PGOLayout(N=64, E=256, pose_dof=4)
+    gt, valid, edges, n = make_loop_graph()
+    init = accumulate_odometry(gt, edges, n)
+    state = PGOState(poses=init, valid=valid)
+    fixed = jnp.zeros(layout.N, bool).at[0].set(True)
+    new_state, rep = solve_pgo(layout, state, edges, fixed, max_iters=12)
+    assert float(rep.final_cost) < float(rep.initial_cost) * 0.2
+    err = np.asarray(jax.vmap(pose_boxminus)(new_state.poses, gt))[: n]
+    assert np.abs(err[:, :3]).max() < 0.2
+
+
+def test_chordal_rotation_init():
+    gt, valid, edges, n = make_loop_graph(rot_noise=0.005)
+    # destroy rotations entirely
+    rng = np.random.default_rng(1)
+    bad = np.asarray(gt).copy()
+    for k in range(1, n):
+        bad[k, 3:] = np.asarray(so3_exp_quat(jnp.asarray(rng.normal(0, 1.5, 3))))
+    fixed = jnp.zeros(LAYOUT.N, bool).at[0].set(True)
+    out = chordal_rotation_init(
+        jnp.asarray(bad, jnp.float64), valid, edges.i, edges.j,
+        quat_normalize(edges.rel[:, 3:]), edges.valid, fixed,
+    )
+    err = np.asarray(jax.vmap(pose_boxminus)(out, gt))[: n]
+    assert np.abs(err[:, 3:]).max() < 0.08, f"rot err {np.abs(err[:, 3:]).max()}"
+
+
+def test_g2o_roundtrip(tmp_path):
+    gt, valid, edges, n = make_loop_graph()
+    verts = {k: np.asarray(gt[k]) for k in range(n)}
+    es = []
+    for m in range(int(np.asarray(edges.valid).sum())):
+        es.append((
+            int(edges.i[m]), int(edges.j[m]), np.asarray(edges.rel[m]),
+            np.eye(6) * 2.0,
+        ))
+    p = os.path.join(tmp_path, "g.g2o")
+    write_g2o(p, verts, es)
+    v2, e2 = read_g2o(p)
+    assert len(v2) == n and len(e2) == len(es)
+    np.testing.assert_allclose(v2[3], verts[3], atol=1e-8)
+    np.testing.assert_allclose(e2[0][2], es[0][2], atol=1e-8)
+    np.testing.assert_allclose(e2[0][3], es[0][3], atol=1e-8)
