@@ -1,0 +1,82 @@
+"""Batched descriptor matching on TPU.
+
+The reference's kNN ratio matching with optional motion-predicted
+radius gating (reference: d2frontend/src/d2featuretracker.cpp:1077-1294
+matchLocalFeatures, cv::BFMatcher knnMatch + ratio 0.8 + search-radius
+mask) becomes one masked GEMM + top-2 — exactly the shape the MXU
+wants. FAISS IndexFlatIP loop retrieval (loop_detector.h:71-72) is the
+same GEMM pattern over the keyframe database.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG = -1e9
+
+
+def match_descriptors(
+    desc_a, desc_b, valid_a, valid_b,
+    ratio: float = 0.8,
+    min_similarity: float = -1.0,
+    cross_check: bool = True,
+):
+    """Mutual nearest descriptor matching with Lowe ratio test.
+
+    Args:
+      desc_a: [N, D] L2-normalized; desc_b: [M, D].
+    Returns (match_idx [N] int32 into b, match_mask [N] bool).
+
+    Ratio test on L2 distances: for unit descriptors d^2 = 2 - 2 s, so
+    d1 < ratio * d2  <=>  (1 - s1) < ratio^2 * (1 - s2).
+    """
+    sim = desc_a @ desc_b.T  # [N, M]
+    mask = valid_a[:, None] & valid_b[None, :]
+    sim = jnp.where(mask, sim, NEG)
+    top2, idx2 = jax.lax.top_k(sim, 2)  # [N, 2]
+    s1, s2 = top2[:, 0], top2[:, 1]
+    ok = s1 > min_similarity
+    ok &= (1.0 - s1) < ratio * ratio * jnp.maximum(1.0 - s2, 0.0)
+    if cross_check:
+        back = jnp.argmax(jnp.where(mask, sim, NEG), axis=0)  # [M]
+        ok &= back[idx2[:, 0]] == jnp.arange(desc_a.shape[0])
+    ok &= valid_a
+    return idx2[:, 0].astype(jnp.int32), ok
+
+
+def match_descriptors_radius(
+    desc_a, desc_b, pts_pred_a, pts_b, valid_a, valid_b,
+    radius: float,
+    ratio: float = 0.8,
+    cross_check: bool = True,
+):
+    """Ratio matching restricted to candidates within ``radius`` pixels
+    of the motion-predicted location (reference matchLocalFeatures with
+    search_local_max_dist gating)."""
+    sim = desc_a @ desc_b.T
+    d2 = jnp.sum(
+        (pts_pred_a[:, None, :] - pts_b[None, :, :]) ** 2, axis=-1
+    )
+    mask = valid_a[:, None] & valid_b[None, :] & (d2 <= radius * radius)
+    sim_m = jnp.where(mask, sim, NEG)
+    top2, idx2 = jax.lax.top_k(sim_m, 2)
+    s1, s2 = top2[:, 0], top2[:, 1]
+    ok = s1 > NEG / 2
+    ok &= (1.0 - s1) < ratio * ratio * jnp.maximum(1.0 - s2, 0.0)
+    if cross_check:
+        back = jnp.argmax(jnp.where(mask, sim, NEG), axis=0)
+        ok &= back[idx2[:, 0]] == jnp.arange(desc_a.shape[0])
+    ok &= valid_a
+    return idx2[:, 0].astype(jnp.int32), ok
+
+
+def retrieval_topk(query, database, db_valid, k: int):
+    """NetVLAD inner-product retrieval over the keyframe DB — the
+    FAISS-IndexFlatIP-equivalent as one GEMM + top-k (reference
+    queryIndexFromDatabase, loop_detector.cpp:300-360).
+
+    query: [Q, D]; database: [N, D]; returns (scores [Q,k], idx [Q,k]).
+    """
+    sim = query @ database.T
+    sim = jnp.where(db_valid[None, :], sim, NEG)
+    return jax.lax.top_k(sim, k)

@@ -1,0 +1,131 @@
+"""MobileNetVLAD global descriptor as pure-functional JAX.
+
+TPU-native replacement for the reference's MobileNetVLAD ONNX/TensorRT
+inference (reference: d2frontend/include/d2frontend/CNN/
+mobilenetvlad_onnx.h — 4096-d global descriptor, optional PCA to 1024
+with renormalization). Backbone is a MobileNetV2-style depthwise-
+separable stack truncated at stride 16; head is a NetVLAD layer
+(soft-assignment to K clusters, residual aggregation, intra + global
+L2 normalization).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class NetVLADConfig:
+    num_clusters: int = 64
+    feat_dim: int = 64        # backbone output channels
+    output_dim: int = 4096    # num_clusters * feat_dim
+    pca_dim: int = 0          # reference: netvlad_pca_dims 1024
+
+
+_BACKBONE = [
+    # (name, type, cin, cout, stride)
+    ("stem", "conv", 1, 16, 2),
+    ("ds1", "dsconv", 16, 32, 2),
+    ("ds2", "dsconv", 32, 64, 2),
+    ("ds3", "dsconv", 64, 64, 2),
+    ("ds4", "dsconv", 64, 64, 1),
+]
+
+
+def netvlad_init(key, cfg: NetVLADConfig = NetVLADConfig(),
+                 dtype=jnp.float32) -> Dict:
+    params = {}
+    keys = jax.random.split(key, len(_BACKBONE) + 2)
+    for i, (name, kind, cin, cout, _) in enumerate(_BACKBONE):
+        if kind == "conv":
+            params[name] = _conv_init(keys[i], 3, cin, cout, dtype)
+        else:
+            k1, k2 = jax.random.split(keys[i])
+            params[name] = {
+                "dw": _conv_init(k1, 3, 1, cin, dtype, depthwise=True),
+                "pw": _conv_init(k2, 1, cin, cout, dtype),
+            }
+    K, D = cfg.num_clusters, cfg.feat_dim
+    params["vlad_assign"] = _conv_init(keys[-2], 1, D, K, dtype)
+    params["vlad_centers"] = (
+        jax.random.normal(keys[-1], (K, D), dtype) * 0.1
+    )
+    if cfg.pca_dim:
+        params["pca"] = {
+            "proj": jnp.zeros((cfg.output_dim, cfg.pca_dim), dtype)
+            .at[: cfg.pca_dim, :].set(jnp.eye(cfg.pca_dim, dtype=dtype)),
+            "mean": jnp.zeros((cfg.output_dim,), dtype),
+        }
+    return params
+
+
+def _conv_init(key, ksize, cin, cout, dtype, depthwise=False):
+    if depthwise:
+        w = jax.random.normal(key, (ksize, ksize, 1, cout), dtype) * jnp.sqrt(
+            2.0 / (ksize * ksize)
+        )
+    else:
+        w = jax.random.normal(key, (ksize, ksize, cin, cout), dtype) * jnp.sqrt(
+            2.0 / (ksize * ksize * cin)
+        )
+    return {"w": w, "b": jnp.zeros((cout,), dtype)}
+
+
+def _conv(x, p, stride=1, groups=1):
+    y = jax.lax.conv_general_dilated(
+        x, p["w"], (stride, stride), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+    )
+    return y + p["b"]
+
+
+def netvlad_apply(params: Dict, img: jax.Array,
+                  cfg: NetVLADConfig = NetVLADConfig()):
+    """img: [B, H, W, 1] -> [B, output_dim] (or pca_dim) L2-normalized."""
+    x = img
+    relu = jax.nn.relu6
+    for (name, kind, cin, cout, stride) in _BACKBONE:
+        p = params[name]
+        if kind == "conv":
+            x = relu(_conv(x, p, stride))
+        else:
+            x = relu(_conv(x, p["dw"], stride, groups=cin))
+            x = relu(_conv(x, p["pw"], 1))
+
+    B, H, W, D = x.shape
+    feats = x.reshape(B, H * W, D)
+    # soft assignment
+    logits = _conv(x, params["vlad_assign"]).reshape(B, H * W, -1)
+    assign = jax.nn.softmax(logits, axis=-1)  # [B, N, K]
+    centers = params["vlad_centers"]  # [K, D]
+    # V[b,k,:] = sum_n a[b,n,k] * (f[b,n,:] - c[k,:])
+    agg = jnp.einsum("bnk,bnd->bkd", assign, feats)
+    counts = jnp.sum(assign, axis=1)  # [B, K]
+    V = agg - counts[..., None] * centers[None]
+    # intra-normalization then global L2 (NetVLAD paper / reference)
+    V = V / jnp.maximum(jnp.linalg.norm(V, axis=-1, keepdims=True), 1e-12)
+    v = V.reshape(B, -1)
+    v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+    if "pca" in params:
+        p = params["pca"]
+        v = (v - p["mean"]) @ p["proj"]
+        v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+    return v
+
+
+def quantize_descriptor_int8(v):
+    """int8 wire quantization: scale by max/127 (reference
+    d2frontend_types.h:228-238 toLCM descriptor packing)."""
+    scale = jnp.max(jnp.abs(v), axis=-1, keepdims=True) / 127.0
+    q = jnp.clip(jnp.round(v / jnp.maximum(scale, 1e-12)), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
+def dequantize_descriptor_int8(q, scale):
+    v = q.astype(scale.dtype) * scale
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)

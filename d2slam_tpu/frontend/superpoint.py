@@ -1,0 +1,230 @@
+"""SuperPoint keypoint detector + descriptor as pure-functional JAX.
+
+TPU-native replacement for the reference's TensorRT SuperPoint engine
+(reference: d2frontend/src/CNN/superpoint_tensorrt.cpp — engine build,
+infer; d2frontend/src/CNN/superpoint_common.cpp:12-99 — threshold, NMS,
+top-K, grid-sample descriptor sampling, PCA). Everything here is XLA:
+the convs hit the MXU, NMS is a max-pool equality trick, descriptor
+sampling is a batched bilinear gather, and the whole extraction
+pipeline is one jitted function with static shapes.
+
+Architecture (SuperPoint, DeTone et al. 2018): shared VGG encoder
+conv(64)x2-pool-conv(64)x2-pool-conv(128)x2-pool-conv(128)x2, detector
+head 3x3x256 -> 1x1x65 (8x8 cells + dustbin), descriptor head
+3x3x256 -> 1x1x256 with bilinear upsample at keypoints.
+
+Weights: ``load_params`` reads a .npz; ``convert_torch_state_dict``
+maps the public magicleap checkpoint layout if available. Random init
+otherwise (geometry/pipeline stay testable without weights).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class SuperPointConfig:
+    max_keypoints: int = 200
+    nms_radius: int = 4
+    threshold: float = 0.015
+    pca_dim: int = 0  # 0 = no PCA; reference uses 64 (superpoint_pca_dims)
+    desc_dim: int = 256
+
+
+_ENCODER = [
+    ("conv1a", 1, 64), ("conv1b", 64, 64),
+    ("conv2a", 64, 64), ("conv2b", 64, 64),
+    ("conv3a", 64, 128), ("conv3b", 128, 128),
+    ("conv4a", 128, 128), ("conv4b", 128, 128),
+]
+
+
+def superpoint_init(key, cfg: SuperPointConfig = SuperPointConfig(),
+                    dtype=jnp.float32) -> Dict:
+    """He-initialized parameter pytree."""
+    params = {}
+    keys = jax.random.split(key, len(_ENCODER) + 4)
+    for i, (name, cin, cout) in enumerate(_ENCODER):
+        params[name] = _conv_init(keys[i], 3, cin, cout, dtype)
+    k = len(_ENCODER)
+    params["convPa"] = _conv_init(keys[k], 3, 128, 256, dtype)
+    params["convPb"] = _conv_init(keys[k + 1], 1, 256, 65, dtype)
+    params["convDa"] = _conv_init(keys[k + 2], 3, 128, 256, dtype)
+    params["convDb"] = _conv_init(keys[k + 3], 1, 256, cfg.desc_dim, dtype)
+    if cfg.pca_dim:
+        params["pca"] = {
+            "proj": jnp.zeros((cfg.desc_dim, cfg.pca_dim), dtype)
+            .at[: cfg.pca_dim, :].set(jnp.eye(cfg.pca_dim, dtype=dtype)),
+            "mean": jnp.zeros((cfg.desc_dim,), dtype),
+        }
+    return params
+
+
+def _conv_init(key, ksize, cin, cout, dtype):
+    fan_in = ksize * ksize * cin
+    w = jax.random.normal(key, (ksize, ksize, cin, cout), dtype) * jnp.sqrt(
+        2.0 / fan_in
+    )
+    return {"w": w, "b": jnp.zeros((cout,), dtype)}
+
+
+def _conv(x, p, stride=1):
+    y = jax.lax.conv_general_dilated(
+        x, p["w"], (stride, stride), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y + p["b"]
+
+
+def superpoint_apply(params: Dict, img: jax.Array):
+    """img: [B, H, W, 1] in [0,1]. Returns (scores [B,H,W],
+    desc_coarse [B,H/8,W/8,D])."""
+    x = img
+    relu = jax.nn.relu
+    x = relu(_conv(x, params["conv1a"]))
+    x = relu(_conv(x, params["conv1b"]))
+    x = _maxpool2(x)
+    x = relu(_conv(x, params["conv2a"]))
+    x = relu(_conv(x, params["conv2b"]))
+    x = _maxpool2(x)
+    x = relu(_conv(x, params["conv3a"]))
+    x = relu(_conv(x, params["conv3b"]))
+    x = _maxpool2(x)
+    x = relu(_conv(x, params["conv4a"]))
+    x = relu(_conv(x, params["conv4b"]))
+
+    cPa = relu(_conv(x, params["convPa"]))
+    semi = _conv(cPa, params["convPb"])  # [B, Hc, Wc, 65]
+    dense = jax.nn.softmax(semi, axis=-1)[..., :64]  # drop dustbin
+    B, Hc, Wc, _ = dense.shape
+    # depth-to-space: cell scores -> full-resolution heatmap
+    scores = dense.reshape(B, Hc, Wc, 8, 8)
+    scores = scores.transpose(0, 1, 3, 2, 4).reshape(B, Hc * 8, Wc * 8)
+
+    cDa = relu(_conv(x, params["convDa"]))
+    desc = _conv(cDa, params["convDb"])  # [B, Hc, Wc, D]
+    desc = desc / jnp.maximum(
+        jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-12
+    )
+    return scores, desc
+
+
+def _maxpool2(x):
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    )
+
+
+def simple_nms(scores, radius: int):
+    """Keep local maxima within (2r+1)^2 windows (reference NMS2 grid
+    suppression, superpoint_common.cpp:107-177, as a max-pool equality
+    test — the XLA-friendly formulation)."""
+    k = 2 * radius + 1
+    pooled = jax.lax.reduce_window(
+        scores, -jnp.inf, jax.lax.max, (1, k, k), (1, 1, 1), "SAME"
+    )
+    return jnp.where(scores == pooled, scores, 0.0)
+
+
+def sample_descriptors(desc_coarse, kpts, img_hw):
+    """Bilinear descriptor interpolation at keypoint pixel locations
+    (reference computeDescriptors via libtorch grid_sampler,
+    superpoint_common.cpp:42-99 — here an explicit batched gather).
+
+    desc_coarse: [Hc, Wc, D]; kpts: [K, 2] (x, y) pixels; img_hw: (H, W).
+    """
+    H, W = img_hw
+    Hc, Wc, D = desc_coarse.shape
+    # map pixel coords to coarse-grid coords (cell centers at 8k+3.5)
+    gx = (kpts[:, 0] - 3.5) / 8.0
+    gy = (kpts[:, 1] - 3.5) / 8.0
+    x0 = jnp.clip(jnp.floor(gx).astype(jnp.int32), 0, Wc - 1)
+    y0 = jnp.clip(jnp.floor(gy).astype(jnp.int32), 0, Hc - 1)
+    x1 = jnp.clip(x0 + 1, 0, Wc - 1)
+    y1 = jnp.clip(y0 + 1, 0, Hc - 1)
+    wx = jnp.clip(gx - x0, 0.0, 1.0)[:, None]
+    wy = jnp.clip(gy - y0, 0.0, 1.0)[:, None]
+    d00 = desc_coarse[y0, x0]
+    d01 = desc_coarse[y0, x1]
+    d10 = desc_coarse[y1, x0]
+    d11 = desc_coarse[y1, x1]
+    d = (
+        d00 * (1 - wx) * (1 - wy)
+        + d01 * wx * (1 - wy)
+        + d10 * (1 - wx) * wy
+        + d11 * wx * wy
+    )
+    return d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+
+
+class SuperPointOutput(NamedTuple):
+    kpts: jax.Array    # [K, 2] (x, y) pixel coords
+    scores: jax.Array  # [K]
+    desc: jax.Array    # [K, D] L2-normalized (PCA'd if configured)
+    valid: jax.Array   # [K] bool
+
+
+def superpoint_extract(
+    params: Dict, img: jax.Array, cfg: SuperPointConfig
+) -> SuperPointOutput:
+    """Full extraction for ONE image [H, W] (jit/vmap over batches).
+
+    Fixed output size cfg.max_keypoints with validity mask.
+    """
+    H, W = img.shape
+    scores_map, desc_coarse = superpoint_apply(params, img[None, :, :, None])
+    scores_map = simple_nms(scores_map, cfg.nms_radius)[0]  # [H, W]
+    flat = scores_map.reshape(-1)
+    K = cfg.max_keypoints
+    top_scores, top_idx = jax.lax.top_k(flat, K)
+    ys = (top_idx // W).astype(jnp.float32)
+    xs = (top_idx % W).astype(jnp.float32)
+    kpts = jnp.stack([xs, ys], axis=-1)
+    valid = top_scores > cfg.threshold
+    desc = sample_descriptors(desc_coarse[0], kpts, (H, W))
+    if "pca" in params:
+        p = params["pca"]
+        desc = (desc - p["mean"]) @ p["proj"]
+        desc = desc / jnp.maximum(
+            jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-12
+        )
+    return SuperPointOutput(kpts=kpts, scores=top_scores, desc=desc, valid=valid)
+
+
+# ---------------------------------------------------------------------------
+# weight loading
+# ---------------------------------------------------------------------------
+
+
+def load_params(path: str, cfg: SuperPointConfig = SuperPointConfig()) -> Dict:
+    """Load parameters from .npz (keys: <layer>_w, <layer>_b [, pca_*])."""
+    raw = np.load(path)
+    params = {}
+    for name, _, _ in _ENCODER:
+        params[name] = {"w": jnp.asarray(raw[f"{name}_w"]),
+                        "b": jnp.asarray(raw[f"{name}_b"])}
+    for name in ("convPa", "convPb", "convDa", "convDb"):
+        params[name] = {"w": jnp.asarray(raw[f"{name}_w"]),
+                        "b": jnp.asarray(raw[f"{name}_b"])}
+    if "pca_proj" in raw:
+        params["pca"] = {"proj": jnp.asarray(raw["pca_proj"]),
+                         "mean": jnp.asarray(raw["pca_mean"])}
+    return params
+
+
+def convert_torch_state_dict(state: Dict) -> Dict:
+    """Map the public magicleap SuperPoint checkpoint (OIHW torch convs)
+    to our HWIO layout."""
+    out = {}
+    for name, _, _ in _ENCODER + [("convPa", 0, 0), ("convPb", 0, 0),
+                                  ("convDa", 0, 0), ("convDb", 0, 0)]:
+        w = np.asarray(state[f"{name}.weight"])  # [O, I, H, W]
+        b = np.asarray(state[f"{name}.bias"])
+        out[name] = {"w": jnp.asarray(w.transpose(2, 3, 1, 0)),
+                     "b": jnp.asarray(b)}
+    return out

@@ -1,0 +1,71 @@
+"""Camera model project/lift round trips."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from d2slam_tpu.geometry.cameras import (
+    KBParams,
+    MEIParams,
+    PinholeParams,
+    kb_lift,
+    kb_project,
+    mei_lift,
+    mei_project,
+    pinhole_lift,
+    pinhole_project,
+)
+
+
+def rand_points(n=200, fov=0.7, seed=0):
+    rng = np.random.default_rng(seed)
+    d = rng.uniform(1.0, 20.0, n)
+    # points within a cone around +z
+    xy = rng.uniform(-fov, fov, (n, 2))
+    pts = np.concatenate([xy * d[:, None], d[:, None]], axis=1)
+    return jnp.asarray(pts, jnp.float64)
+
+
+def roundtrip(project, lift, params, pts):
+    uv, valid = project(pts, params)
+    rays = lift(uv, params)
+    gt_rays = pts / jnp.linalg.norm(pts, axis=-1, keepdims=True)
+    err = np.linalg.norm(np.asarray(rays - gt_rays), axis=-1)
+    return err[np.asarray(valid)]
+
+
+def test_pinhole_roundtrip():
+    params = PinholeParams.make(
+        460.0, 459.0, 320.0, 240.0, k1=-0.28, k2=0.07, p1=2e-4, p2=-2e-5,
+        dtype=jnp.float64,
+    )
+    err = roundtrip(pinhole_project, pinhole_lift, params, rand_points())
+    assert err.max() < 1e-7, err.max()
+
+
+def test_kb_roundtrip():
+    params = KBParams.make(
+        380.0, 379.0, 320.0, 240.0, k2=0.01, k3=-0.002, k4=0.0005, k5=-1e-4,
+        dtype=jnp.float64,
+    )
+    # fisheye sees a wide cone
+    err = roundtrip(kb_project, kb_lift, params, rand_points(fov=1.5))
+    assert err.max() < 1e-7, err.max()
+
+
+def test_mei_roundtrip():
+    params = MEIParams.make(
+        1.2, 600.0, 600.0, 320.0, 240.0, k1=-0.1, k2=0.02, dtype=jnp.float64
+    )
+    err = roundtrip(mei_project, mei_lift, params, rand_points(fov=1.2, seed=2))
+    assert err.max() < 1e-8, err.max()
+
+
+def test_jit_vmap():
+    params = PinholeParams.make(460.0, 460.0, 320.0, 240.0, dtype=jnp.float64)
+    f = jax.jit(lambda p: pinhole_project(p, params))
+    uv, valid = f(rand_points())
+    assert uv.shape == (200, 2)
+    # behind-camera points flagged invalid
+    pts = jnp.asarray([[0.0, 0, -1.0], [0.1, 0.1, 2.0]], jnp.float64)
+    _, v = pinhole_project(pts, params)
+    assert not bool(v[0]) and bool(v[1])
