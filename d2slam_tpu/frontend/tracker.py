@@ -1,0 +1,234 @@
+"""Feature tracker: the host state machine turning images into
+landmark-observation frames for the estimator.
+
+TPU-native redesign of the reference D2FeatureTracker
+(reference: d2frontend/src/d2featuretracker.cpp): SuperPoint extraction
+and descriptor matching run as jitted batched device code; the
+data-dependent bookkeeping — landmark id assignment, keyframe decision,
+track carry-over — stays here. Covers the reference's local pipeline:
+
+* descriptor match against the last keyframe with motion-predicted
+  radius gating (matchLocalFeatures :1077-1294);
+* an LK optical-flow layer that carries existing landmarks between
+  frames (trackLK :472-621, ``sp_track_use_lk``);
+* stereo left->right association (track(left,right) :658-753);
+* keyframe decision on parallax / tracked-feature count
+  (isKeyframe :754-775).
+"""
+from __future__ import annotations
+
+import dataclasses
+import itertools
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from d2slam_tpu.frontend.lk import build_pyramid, lk_track_pyramidal
+from d2slam_tpu.frontend.matching import match_descriptors, match_descriptors_radius
+from d2slam_tpu.frontend.superpoint import (
+    SuperPointConfig,
+    superpoint_extract,
+)
+from d2slam_tpu.geometry.cameras import PinholeParams, pinhole_lift
+from d2slam_tpu.vins.types import CameraObservations, FrontendFrame
+
+
+@dataclasses.dataclass
+class TrackerConfig:
+    min_keyframe_parallax: float = 10.0       # px (reference kf gating)
+    min_tracked_for_nonkf: int = 40           # below -> force keyframe
+    match_ratio: float = 0.8
+    search_radius: float = 40.0               # px, radius-gated matching
+    stereo_ratio: float = 0.8
+    use_lk: bool = True
+    lk_levels: int = 3
+    max_features: int = 200
+
+
+class TrackedFeature:
+    __slots__ = ("lm_id", "pt", "desc", "n_tracks")
+
+    def __init__(self, lm_id, pt, desc):
+        self.lm_id = lm_id
+        self.pt = pt          # np [2] pixel in cam0
+        self.desc = desc      # np [D]
+        self.n_tracks = 1
+
+
+class FeatureTracker:
+    def __init__(
+        self,
+        sp_params,
+        sp_cfg: SuperPointConfig,
+        cam_params: List[PinholeParams],
+        cfg: TrackerConfig = TrackerConfig(),
+        frame_rate: float = 8.0,
+    ):
+        self.sp_params = sp_params
+        self.sp_cfg = sp_cfg
+        self.cams = cam_params
+        self.cfg = cfg
+        self.dt = 1.0 / frame_rate
+        self._extract = jax.jit(
+            lambda img: superpoint_extract(sp_params, img, sp_cfg)
+        )
+        self._lm_ids = itertools.count(0)
+        self.prev: Dict = {}          # last processed frame data
+        self.last_kf: Dict = {}       # last keyframe data
+        self.frame_count = 0
+        self.landmark_count = 0
+
+    # ------------------------------------------------------------------
+
+    def process_stereo(self, stamp: float, frame_id: int,
+                       img_left: np.ndarray, img_right: np.ndarray
+                       ) -> Optional[FrontendFrame]:
+        """Returns a FrontendFrame when this frame is a keyframe."""
+        imgL = jnp.asarray(img_left, jnp.float32)
+        imgR = jnp.asarray(img_right, jnp.float32)
+        outL = self._extract(imgL)
+        outR = self._extract(imgR)
+
+        kptsL = np.asarray(outL.kpts)
+        descL = np.asarray(outL.desc)
+        validL = np.asarray(outL.valid)
+
+        # ---- associate with last keyframe ----
+        matched_ids = -np.ones(len(kptsL), np.int64)
+        if self.last_kf:
+            kf = self.last_kf
+            idx, ok = match_descriptors_radius(
+                jnp.asarray(kf["desc"]), outL.desc,
+                jnp.asarray(kf["pts"], jnp.float32), outL.kpts,
+                jnp.asarray(kf["valid"]), outL.valid,
+                radius=self.cfg.search_radius, ratio=self.cfg.match_ratio,
+            )
+            idx, ok = np.asarray(idx), np.asarray(ok)
+            for a_i in np.flatnonzero(ok):
+                matched_ids[idx[a_i]] = kf["ids"][a_i]
+
+        # ---- LK carry-over layer for unmatched previous landmarks ----
+        if self.cfg.use_lk and self.prev:
+            pyr_prev = self.prev["pyr"]
+            pyr_now = build_pyramid(imgL, self.cfg.lk_levels)
+            prev_pts = self.prev["pts"]
+            prev_ids = self.prev["ids"]
+            live = np.asarray(self.prev["valid"])
+            if live.any():
+                new_pts, ok = lk_track_pyramidal(
+                    pyr_prev, pyr_now,
+                    jnp.asarray(prev_pts, jnp.float32),
+                    jnp.asarray(live),
+                )
+                new_pts, ok = np.asarray(new_pts), np.asarray(ok)
+                already = set(matched_ids[matched_ids >= 0].tolist())
+                for i in np.flatnonzero(ok):
+                    lid = prev_ids[i]
+                    if lid in already:
+                        continue
+                    # attach to nearest unassigned keypoint within 3 px,
+                    # else inject as a pure-flow feature
+                    d = np.linalg.norm(kptsL - new_pts[i], axis=1)
+                    j = int(np.argmin(d))
+                    if d[j] < 3.0 and matched_ids[j] < 0 and validL[j]:
+                        matched_ids[j] = lid
+                        already.add(lid)
+        else:
+            pyr_now = build_pyramid(imgL, self.cfg.lk_levels)
+
+        # ---- new landmark ids ----
+        for j in np.flatnonzero(validL):
+            if matched_ids[j] < 0:
+                matched_ids[j] = next(self._lm_ids)
+                self.landmark_count += 1
+
+        # ---- keyframe decision (reference isKeyframe) ----
+        tracked = 0
+        parallax = 0.0
+        if self.last_kf:
+            kf_pts_of = {lid: p for lid, p in
+                         zip(self.last_kf["ids"], self.last_kf["pts"])}
+            moves = []
+            for j in np.flatnonzero(validL):
+                lid = matched_ids[j]
+                if lid in kf_pts_of:
+                    tracked += 1
+                    moves.append(np.linalg.norm(kptsL[j] - kf_pts_of[lid]))
+            parallax = float(np.mean(moves)) if moves else 1e9
+        is_keyframe = (
+            not self.last_kf
+            or parallax > self.cfg.min_keyframe_parallax
+            or tracked < self.cfg.min_tracked_for_nonkf
+        )
+
+        # ---- stereo association ----
+        idxR, okR = match_descriptors(
+            outL.desc, outR.desc, outL.valid, outR.valid,
+            ratio=self.cfg.stereo_ratio,
+        )
+        idxR, okR = np.asarray(idxR), np.asarray(okR)
+        kptsR = np.asarray(outR.kpts)
+
+        # ---- ray velocities from previous positions ----
+        prev_pt_of = {}
+        if self.prev:
+            prev_pt_of = {lid: p for lid, p in
+                          zip(self.prev["ids"], self.prev["pts"])}
+
+        self.prev = dict(
+            pyr=pyr_now, pts=kptsL, ids=matched_ids, valid=validL,
+            desc=descL,
+        )
+        self.frame_count += 1
+
+        if not is_keyframe:
+            return None
+
+        self.last_kf = dict(
+            pts=kptsL, ids=matched_ids, valid=validL, desc=descL,
+        )
+
+        # ---- build FrontendFrame (unit rays via camera lift) ----
+        obs = []
+        selL = np.flatnonzero(validL)
+        raysL = np.asarray(pinhole_lift(jnp.asarray(kptsL[selL], jnp.float32),
+                                        self.cams[0]))
+        velL = np.zeros_like(raysL)
+        for k, j in enumerate(selL):
+            lid = matched_ids[j]
+            if lid in prev_pt_of:
+                prev_ray = np.asarray(
+                    pinhole_lift(
+                        jnp.asarray(prev_pt_of[lid][None], jnp.float32),
+                        self.cams[0],
+                    )
+                )[0]
+                velL[k] = (raysL[k] - prev_ray) / self.dt
+        obs.append(
+            CameraObservations(
+                cam_id=0,
+                landmark_ids=matched_ids[selL],
+                rays=raysL,
+                ray_vels=velL,
+            )
+        )
+        selR = np.flatnonzero(okR & validL)
+        if len(selR):
+            raysR = np.asarray(
+                pinhole_lift(jnp.asarray(kptsR[idxR[selR]], jnp.float32),
+                             self.cams[1])
+            )
+            obs.append(
+                CameraObservations(
+                    cam_id=1,
+                    landmark_ids=matched_ids[selR],
+                    rays=raysR,
+                    ray_vels=np.zeros_like(raysR),
+                )
+            )
+        return FrontendFrame(
+            stamp=stamp, frame_id=frame_id, is_keyframe=True,
+            observations=obs,
+        )

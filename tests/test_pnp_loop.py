@@ -1,0 +1,132 @@
+"""PnP RANSAC and loop detection geometric verification."""
+import numpy as np
+
+import jax.numpy as jnp
+
+from d2slam_tpu.frontend.loop_detector import (
+    KeyframeEntry,
+    LoopDetector,
+    LoopDetectorConfig,
+)
+from d2slam_tpu.frontend.pnp import ransac_pnp, ransac_pnp_body
+from d2slam_tpu.utils import np_lie
+from d2slam_tpu.utils.sim import default_extrinsics
+
+
+def make_pnp_scene(n=60, outliers=10, seed=0):
+    rng = np.random.default_rng(seed)
+    # camera at a known pose
+    axis = rng.normal(0, 1, 3)
+    axis *= 0.3 / np.linalg.norm(axis)
+    from d2slam_tpu.geometry.lie import so3_exp_quat
+
+    q = np.asarray(so3_exp_quat(jnp.asarray(axis)))
+    T = np.concatenate([rng.normal(0, 2, 3), q])
+    R = np_lie.quat_to_rotmat(T[3:])
+    pts_w = T[:3] + (rng.uniform(-4, 4, (n, 2)) @ np.eye(2, 3)) \
+        + R[:, 2] * rng.uniform(4, 12, (n, 1)) + rng.normal(0, 1.0, (n, 3))
+    pc = (pts_w - T[:3]) @ R
+    rays = pc / np.linalg.norm(pc, axis=1, keepdims=True)
+    # corrupt some correspondences
+    bad = rng.choice(n, outliers, replace=False)
+    rays[bad] = rng.normal(0, 1, (outliers, 3))
+    rays[bad] /= np.linalg.norm(rays[bad], axis=1, keepdims=True)
+    rays[bad][:, 2] = np.abs(rays[bad][:, 2])
+    return T, rays, pts_w, bad
+
+
+def test_ransac_pnp_recovers_pose():
+    T, rays, pts_w, bad = make_pnp_scene()
+    T_est, inl = ransac_pnp(rays, pts_w, thresh=2e-3, min_inliers=20)
+    assert T_est is not None
+    assert np.linalg.norm(T_est[:3] - T[:3]) < 0.05
+    dq = np_lie.quat_mul(np_lie.quat_conj(T_est[3:]), T[3:])
+    assert abs(dq[3]) > 0.9999
+    # outliers excluded
+    assert not inl[bad].any()
+
+
+def test_ransac_pnp_body_multicam():
+    T_body, rays, pts_w, _ = make_pnp_scene(outliers=0, seed=1)
+    ext = default_extrinsics()
+    # treat bearings as cam0 observations; transform accordingly:
+    # rays are in "camera" frame == T_body here, so compose body pose
+    T_w_cam = T_body
+    T_w_body = np_lie.pose_compose(T_w_cam, np_lie.pose_inverse(ext[0]))
+    cam_idx = np.zeros(len(rays), np.int32)
+    T_est, inl = ransac_pnp_body(
+        rays, cam_idx, ext, pts_w, thresh=2e-3, min_inliers=20
+    )
+    assert T_est is not None
+    assert np.linalg.norm(T_est[:3] - T_w_body[:3]) < 0.05
+    assert inl.sum() >= 50
+
+
+def make_entry(frame_id, drone_id, pose, rays, cams, desc, lms, stamp=0.0):
+    return KeyframeEntry(
+        frame_id=frame_id, drone_id=drone_id, stamp=stamp,
+        pose=pose, kpt_rays=rays, kpt_cam=cams, kpt_desc=desc,
+        kpt_valid=np.ones(len(rays), bool), lm_positions=lms,
+    )
+
+
+def test_loop_detector_end_to_end():
+    rng = np.random.default_rng(3)
+    ext = default_extrinsics()
+    cfg = LoopDetectorConfig(min_gap_frames=2, min_inliers=20,
+                             min_match_per_dir=10)
+    det = LoopDetector(cfg, ext)
+
+    # old keyframe: at origin-ish, with known landmarks
+    n = 80
+    # camera0 looks along world +x (body x forward): put landmarks ahead
+    lms = np.concatenate(
+        [rng.uniform(6, 14, (n, 1)), rng.uniform(-5, 5, (n, 1)),
+         rng.uniform(0, 4, (n, 1))], axis=1
+    )
+    pose_old = np.array([0.0, 0, 0, 0, 0, 0, 1])
+    T_cam_old = np_lie.pose_compose(pose_old, ext[0])
+    R = np_lie.quat_to_rotmat(T_cam_old[3:])
+    pc = (lms - T_cam_old[:3]) @ R
+    rays_old = pc / np.linalg.norm(pc, axis=1, keepdims=True)
+    desc = rng.normal(0, 1, (n, 256)).astype(np.float32)
+    desc /= np.linalg.norm(desc, axis=1, keepdims=True)
+    gdesc_old = rng.normal(0, 1, 4096).astype(np.float32)
+    gdesc_old /= np.linalg.norm(gdesc_old)
+    det.add_keyframe(
+        make_entry(0, 0, pose_old, rays_old, np.zeros(n, np.int32), desc, lms),
+        gdesc_old,
+    )
+
+    # new keyframe: body moved, sees the SAME landmarks with similar descs
+    pose_new_true = np.array([1.0, 0.5, 0.2, 0, 0, np.sin(0.1), np.cos(0.1)])
+    T_cam_new = np_lie.pose_compose(pose_new_true, ext[0])
+    Rn = np_lie.quat_to_rotmat(T_cam_new[3:])
+    pcn = (lms - T_cam_new[:3]) @ Rn
+    rays_new = pcn / np.linalg.norm(pcn, axis=1, keepdims=True)
+    desc_new = desc + rng.normal(0, 0.03, desc.shape).astype(np.float32)
+    desc_new /= np.linalg.norm(desc_new, axis=1, keepdims=True)
+    gdesc_new = gdesc_old + rng.normal(0, 0.005, 4096).astype(np.float32)
+    gdesc_new /= np.linalg.norm(gdesc_new)
+
+    # drifted VIO pose for the new frame (loop should correct this)
+    pose_new_vio = pose_new_true.copy()
+    pose_new_vio[:3] += [0.3, -0.2, 0.1]
+
+    entry = make_entry(
+        10, 0, pose_new_vio, rays_new, np.zeros(n, np.int32), desc_new,
+        np.full((n, 3), np.nan),
+    )
+    edge = det.detect(entry, gdesc_new)
+    assert edge is not None, "loop not detected"
+    assert edge.inliers >= 50
+    # rel pose = old_T_new(true) since landmarks/PnP are exact
+    rel_true = np_lie.pose_compose(
+        np_lie.pose_inverse(pose_old), pose_new_true
+    )
+    np.testing.assert_allclose(edge.rel_pose[:3], rel_true[:3], atol=0.02)
+
+    # below-threshold NetVLAD similarity -> no loop
+    g_other = rng.normal(0, 1, 4096).astype(np.float32)
+    g_other /= np.linalg.norm(g_other)
+    assert det.detect(entry, g_other) is None
