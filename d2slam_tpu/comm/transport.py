@@ -1,0 +1,105 @@
+"""ctypes bindings for the native UDP multicast transport.
+
+Compiles ``native/udp_transport.cpp`` with g++ on first use (cached in
+the package dir). Channel ids mirror the reference's LCM channels
+(reference: loop_net.cpp:10-22, d2vins_net.cpp:8-27, d2comm.cpp:14-23).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+# channel ids (reference LCM channel names)
+CH_VIOKF_HEADER = 1      # "VIOKF_HEADER"
+CH_VIOKF_LANDMARKS = 2   # "VIOKF_LANDMARKS"
+CH_SWARM_LOOP = 3        # "SWARM_LOOP_CONN"
+CH_DISTRIB_VINS = 4      # "DISTRIB_VINS_DATA"
+CH_SYNC_SIGNAL = 5       # "SYNC_SIGNAL"
+CH_SYNC_SLDWIN = 6       # "SYNC_SLDWIN"
+CH_PGO_DATA = 7          # "PGO_Sync_Data"
+
+_LIB = None
+
+
+def _load_lib() -> ctypes.CDLL:
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    here = os.path.dirname(__file__)
+    src = os.path.join(here, "native", "udp_transport.cpp")
+    so = os.path.join(here, "native", "libudp_transport.so")
+    if (not os.path.exists(so)
+            or os.path.getmtime(so) < os.path.getmtime(src)):
+        subprocess.run(
+            ["g++", "-O2", "-fPIC", "-shared", "-o", so, src],
+            check=True,
+        )
+    lib = ctypes.CDLL(so)
+    lib.udp_transport_create.restype = ctypes.c_void_p
+    lib.udp_transport_create.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_uint16, ctypes.c_int
+    ]
+    lib.udp_transport_destroy.argtypes = [ctypes.c_void_p]
+    lib.udp_transport_send.restype = ctypes.c_int
+    lib.udp_transport_send.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint16,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_uint32,
+    ]
+    lib.udp_transport_recv.restype = ctypes.c_int
+    lib.udp_transport_recv.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint16),
+        ctypes.POINTER(ctypes.c_uint16),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_uint32, ctypes.c_int,
+    ]
+    _LIB = lib
+    return lib
+
+
+class UDPMulticastTransport:
+    """Swarm transport on the reference's multicast group
+    (udpm://224.0.0.251:7667, reference d2vins/launch/tum.launch:27)."""
+
+    def __init__(self, self_id: int, group: str = "224.0.0.251",
+                 port: int = 7667, loopback: bool = True,
+                 max_msg: int = 4 * 1024 * 1024):
+        self._lib = _load_lib()
+        self._h = self._lib.udp_transport_create(
+            group.encode(), port, self_id, int(loopback)
+        )
+        if not self._h:
+            raise OSError("failed to create UDP multicast transport")
+        self._buf = (ctypes.c_uint8 * max_msg)()
+        self._max = max_msg
+
+    def send(self, channel: int, data: bytes) -> None:
+        arr = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+        rc = self._lib.udp_transport_send(self._h, channel, arr, len(data))
+        if rc != 0:
+            raise OSError("udp send failed")
+
+    def recv(self, timeout_ms: int = 0) -> Optional[Tuple[int, int, bytes]]:
+        """Returns (channel, sender, payload) or None."""
+        ch = ctypes.c_uint16(0)
+        snd = ctypes.c_uint16(0)
+        n = self._lib.udp_transport_recv(
+            self._h, ctypes.byref(ch), ctypes.byref(snd),
+            self._buf, self._max, timeout_ms,
+        )
+        if n <= 0:
+            return None
+        return int(ch.value), int(snd.value), bytes(self._buf[:n])
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.udp_transport_destroy(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

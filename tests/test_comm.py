@@ -1,0 +1,91 @@
+"""Wire codec roundtrip + native UDP multicast transport between two
+in-process endpoints (the reference's LCM-over-multicast pattern)."""
+import numpy as np
+import pytest
+
+from d2slam_tpu.comm import (
+    RemoteKeyframePacket,
+    UDPMulticastTransport,
+    decode_keyframe,
+    encode_keyframe,
+)
+from d2slam_tpu.comm.transport import CH_VIOKF_HEADER
+
+
+def make_packet(n=20, D=64, G=1024, seed=0):
+    rng = np.random.default_rng(seed)
+    gdesc = rng.normal(0, 1, G).astype(np.float32)
+    gdesc /= np.linalg.norm(gdesc)
+    desc = rng.normal(0, 1, (n, D)).astype(np.float32)
+    desc /= np.linalg.norm(desc, axis=1, keepdims=True)
+    rays = rng.normal(0, 1, (n, 3)).astype(np.float32)
+    rays /= np.linalg.norm(rays, axis=1, keepdims=True)
+    return RemoteKeyframePacket(
+        drone_id=3, frame_id=12345678901, stamp=17.25, is_keyframe=True,
+        pose=np.array([1, 2, 3, 0, 0, 0, 1], np.float32),
+        gdesc=gdesc,
+        lm_ids=rng.integers(0, 1 << 40, n),
+        lm_cam=rng.integers(0, 2, n).astype(np.uint8),
+        lm_rays=rays,
+        lm_vels=np.zeros((n, 3), np.float32),
+        lm_desc=desc,
+    )
+
+
+def test_codec_roundtrip():
+    pkt = make_packet()
+    buf = encode_keyframe(pkt)
+    out = decode_keyframe(buf)
+    assert out is not None
+    assert out.drone_id == 3 and out.frame_id == 12345678901
+    assert out.stamp == 17.25 and out.is_keyframe
+    np.testing.assert_array_equal(out.lm_ids, pkt.lm_ids)
+    np.testing.assert_array_equal(out.lm_cam, pkt.lm_cam)
+    np.testing.assert_allclose(out.pose, pkt.pose, atol=1e-6)
+    # int8 quantization keeps descriptor direction (cos > 0.99)
+    assert float(out.gdesc @ pkt.gdesc) > 0.99
+    cos = np.sum(out.lm_desc * pkt.lm_desc, axis=1)
+    assert cos.min() > 0.99
+    # bandwidth: int8 descriptors ~4x smaller than f32
+    assert len(buf) < 0.35 * (
+        4 * (len(pkt.gdesc) + pkt.lm_desc.size + pkt.lm_rays.size)
+    )
+
+
+def test_codec_rejects_garbage():
+    assert decode_keyframe(b"") is None
+    assert decode_keyframe(b"\x00" * 64) is None
+
+
+def test_udp_transport_roundtrip():
+    try:
+        a = UDPMulticastTransport(self_id=1, port=17667)
+        b = UDPMulticastTransport(self_id=2, port=17667)
+    except OSError:
+        pytest.skip("multicast unavailable in sandbox")
+    pkt = make_packet(n=50, D=64)
+    payload = encode_keyframe(pkt)
+    a.send(CH_VIOKF_HEADER, payload)
+    got = b.recv(timeout_ms=2000)
+    if got is None:
+        pytest.skip("multicast loopback not routed in sandbox")
+    ch, sender, data = got
+    assert ch == CH_VIOKF_HEADER and sender == 1
+    out = decode_keyframe(data)
+    np.testing.assert_array_equal(out.lm_ids, pkt.lm_ids)
+    # self-messages are suppressed (reference self-msg suppression)
+    a.send(CH_VIOKF_HEADER, payload)
+    assert a.recv(timeout_ms=300) is None
+    while b.recv(timeout_ms=200) is not None:
+        pass  # drain the duplicate b legitimately received
+    # large message fragmentation (beyond one datagram)
+    big = make_packet(n=800, D=256, G=4096, seed=1)
+    buf = encode_keyframe(big)
+    assert len(buf) > 200000
+    a.send(CH_VIOKF_HEADER, buf)
+    got = b.recv(timeout_ms=3000)
+    assert got is not None
+    out = decode_keyframe(got[2])
+    np.testing.assert_array_equal(out.lm_ids, big.lm_ids)
+    a.close()
+    b.close()
