@@ -1,0 +1,62 @@
+"""Fisheye-to-virtual-pinhole undistortion as precomputed gather maps.
+
+TPU-native equivalent of the reference FisheyeUndist
+(reference: d2common/include/d2common/fisheye_undistort.h:30-200 —
+remap tables from any camodocal model to virtual pinhole views, CUDA
+remap path): the map is built once (host/device) by lifting each
+output pixel through the ideal virtual pinhole, rotating into the
+fisheye camera, and projecting through the fisheye model; application
+is a batched bilinear gather (XLA) — the quadcam's 4 views remap as
+one batch.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from d2slam_tpu.geometry.cameras import KBParams, kb_project
+
+
+def build_undistort_map(
+    fisheye: KBParams,
+    R_fisheye_virtual: jax.Array,   # [3, 3] rotation virtual->fisheye cam
+    out_hw,                         # (H, W) of the virtual pinhole image
+    virtual_fov_deg: float = 90.0,
+):
+    """Returns (map_xy [H, W, 2], virtual_focal). Source pixel for each
+    output pixel; out-of-image samples map to (-1, -1)."""
+    H, W = out_hw
+    f = (W / 2.0) / jnp.tan(jnp.deg2rad(virtual_fov_deg / 2.0))
+    ys, xs = jnp.meshgrid(
+        jnp.arange(H, dtype=jnp.float32), jnp.arange(W, dtype=jnp.float32),
+        indexing="ij",
+    )
+    rays = jnp.stack(
+        [(xs - W / 2.0) / f, (ys - H / 2.0) / f, jnp.ones_like(xs)], axis=-1
+    )
+    rays = rays / jnp.linalg.norm(rays, axis=-1, keepdims=True)
+    rays_fish = rays @ R_fisheye_virtual.T
+    uv, valid = kb_project(rays_fish, fisheye)
+    uv = jnp.where(valid[..., None], uv, -1.0)
+    return uv, f
+
+
+def remap_bilinear(img: jax.Array, map_xy: jax.Array) -> jax.Array:
+    """Sample ``img`` [H, W] at ``map_xy`` [Ho, Wo, 2]; out-of-range
+    positions produce 0."""
+    H, W = img.shape
+    x, y = map_xy[..., 0], map_xy[..., 1]
+    inb = (x >= 0) & (x <= W - 1.001) & (y >= 0) & (y <= H - 1.001)
+    x = jnp.clip(x, 0.0, W - 1.001)
+    y = jnp.clip(y, 0.0, H - 1.001)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    wx = x - x0
+    wy = y - y0
+    v = (
+        img[y0, x0] * (1 - wx) * (1 - wy)
+        + img[y0, x0 + 1] * wx * (1 - wy)
+        + img[y0 + 1, x0] * (1 - wx) * wy
+        + img[y0 + 1, x0 + 1] * wx * wy
+    )
+    return jnp.where(inb, v, 0.0)
