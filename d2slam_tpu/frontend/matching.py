@@ -70,6 +70,34 @@ def match_descriptors_radius(
     return idx2[:, 0].astype(jnp.int32), ok
 
 
+def match_stereo_epipolar(
+    desc_l, desc_r, pts_l, pts_r, valid_l, valid_r,
+    max_disparity: float = 80.0,
+    band_px: float = 2.5,
+    ratio: float = 0.8,
+):
+    """Left->right matching constrained to the rectified epipolar band:
+    |y_l - y_r| < band and 0 <= x_l - x_r <= max_disparity (reference
+    stereo association uses LEFT_RIGHT half-image shifted search,
+    d2featuretracker.cpp:658-753)."""
+    sim = desc_l @ desc_r.T
+    dy = jnp.abs(pts_l[:, None, 1] - pts_r[None, :, 1])
+    disp = pts_l[:, None, 0] - pts_r[None, :, 0]
+    mask = (
+        valid_l[:, None] & valid_r[None, :]
+        & (dy < band_px) & (disp >= 0.0) & (disp <= max_disparity)
+    )
+    sim_m = jnp.where(mask, sim, NEG)
+    top2, idx2 = jax.lax.top_k(sim_m, 2)
+    s1, s2 = top2[:, 0], top2[:, 1]
+    ok = s1 > NEG / 2
+    ok &= (1.0 - s1) < ratio * ratio * jnp.maximum(1.0 - s2, 0.0)
+    back = jnp.argmax(jnp.where(mask, sim, NEG), axis=0)
+    ok &= back[idx2[:, 0]] == jnp.arange(desc_l.shape[0])
+    ok &= valid_l
+    return idx2[:, 0].astype(jnp.int32), ok
+
+
 def retrieval_topk(query, database, db_valid, k: int):
     """NetVLAD inner-product retrieval over the keyframe DB — the
     FAISS-IndexFlatIP-equivalent as one GEMM + top-k (reference

@@ -177,14 +177,33 @@ def superpoint_extract(
     Fixed output size cfg.max_keypoints with validity mask.
     """
     H, W = img.shape
-    scores_map, desc_coarse = superpoint_apply(params, img[None, :, :, None])
-    scores_map = simple_nms(scores_map, cfg.nms_radius)[0]  # [H, W]
+    raw_scores, desc_coarse = superpoint_apply(params, img[None, :, :, None])
+    raw = raw_scores[0]
+    scores_map = simple_nms(raw_scores, cfg.nms_radius)[0]  # [H, W]
     flat = scores_map.reshape(-1)
     K = cfg.max_keypoints
     top_scores, top_idx = jax.lax.top_k(flat, K)
-    ys = (top_idx // W).astype(jnp.float32)
-    xs = (top_idx % W).astype(jnp.float32)
-    kpts = jnp.stack([xs, ys], axis=-1)
+    yi = (top_idx // W).astype(jnp.int32)
+    xi = (top_idx % W).astype(jnp.int32)
+    # parabolic subpixel refinement on the raw score map (integer
+    # keypoints alias small stereo disparities; reference achieves the
+    # same through its heatmap NMS + weighted localization)
+    xi_c = jnp.clip(xi, 1, W - 2)
+    yi_c = jnp.clip(yi, 1, H - 2)
+    sc = raw[yi_c, xi_c]
+    sxm, sxp = raw[yi_c, xi_c - 1], raw[yi_c, xi_c + 1]
+    sym, syp = raw[yi_c - 1, xi_c], raw[yi_c + 1, xi_c]
+
+    def _para(sm, s0, sp):
+        denom = sm - 2 * s0 + sp  # negative at a maximum
+        safe = jnp.where(jnp.abs(denom) < 1e-9, -1e-9, denom)
+        return jnp.clip(0.5 * (sm - sp) / safe, -0.5, 0.5)
+
+    dx = _para(sxm, sc, sxp)
+    dy = _para(sym, sc, syp)
+    kpts = jnp.stack(
+        [xi.astype(jnp.float32) + dx, yi.astype(jnp.float32) + dy], axis=-1
+    )
     valid = top_scores > cfg.threshold
     desc = sample_descriptors(desc_coarse[0], kpts, (H, W))
     if "pca" in params:

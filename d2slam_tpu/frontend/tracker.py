@@ -65,15 +65,23 @@ class FeatureTracker:
         cam_params: List[PinholeParams],
         cfg: TrackerConfig = TrackerConfig(),
         frame_rate: float = 8.0,
+        extract_fn=None,
     ):
+        """extract_fn: optional override ``f(img, cam_id) ->
+        SuperPointOutput`` (tests inject oracle extractors; production
+        uses jitted SuperPoint)."""
         self.sp_params = sp_params
         self.sp_cfg = sp_cfg
         self.cams = cam_params
         self.cfg = cfg
         self.dt = 1.0 / frame_rate
-        self._extract = jax.jit(
-            lambda img: superpoint_extract(sp_params, img, sp_cfg)
-        )
+        if extract_fn is None:
+            jitted = jax.jit(
+                lambda img: superpoint_extract(sp_params, img, sp_cfg)
+            )
+            self._extract = lambda img, cam_id: jitted(img)
+        else:
+            self._extract = extract_fn
         self._lm_ids = itertools.count(0)
         self.prev: Dict = {}          # last processed frame data
         self.last_kf: Dict = {}       # last keyframe data
@@ -88,31 +96,22 @@ class FeatureTracker:
         """Returns a FrontendFrame when this frame is a keyframe."""
         imgL = jnp.asarray(img_left, jnp.float32)
         imgR = jnp.asarray(img_right, jnp.float32)
-        outL = self._extract(imgL)
-        outR = self._extract(imgR)
+        outL = self._extract(imgL, 0)
+        outR = self._extract(imgR, 1)
 
         kptsL = np.asarray(outL.kpts)
         descL = np.asarray(outL.desc)
         validL = np.asarray(outL.valid)
 
-        # ---- associate with last keyframe ----
+        # ---- LK carry-over FIRST: geometric short-baseline tracking is
+        # the trustworthy association layer (reference trackLK carries
+        # SuperPoint landmarks between frames; descriptor matching then
+        # only fills the gaps). Descriptor-first would let look-alike
+        # features alias under wide radius gates.
         matched_ids = -np.ones(len(kptsL), np.int64)
-        if self.last_kf:
-            kf = self.last_kf
-            idx, ok = match_descriptors_radius(
-                jnp.asarray(kf["desc"]), outL.desc,
-                jnp.asarray(kf["pts"], jnp.float32), outL.kpts,
-                jnp.asarray(kf["valid"]), outL.valid,
-                radius=self.cfg.search_radius, ratio=self.cfg.match_ratio,
-            )
-            idx, ok = np.asarray(idx), np.asarray(ok)
-            for a_i in np.flatnonzero(ok):
-                matched_ids[idx[a_i]] = kf["ids"][a_i]
-
-        # ---- LK carry-over layer for unmatched previous landmarks ----
+        pyr_now = build_pyramid(imgL, self.cfg.lk_levels)
         if self.cfg.use_lk and self.prev:
             pyr_prev = self.prev["pyr"]
-            pyr_now = build_pyramid(imgL, self.cfg.lk_levels)
             prev_pts = self.prev["pts"]
             prev_ids = self.prev["ids"]
             live = np.asarray(self.prev["valid"])
@@ -123,20 +122,33 @@ class FeatureTracker:
                     jnp.asarray(live),
                 )
                 new_pts, ok = np.asarray(new_pts), np.asarray(ok)
-                already = set(matched_ids[matched_ids >= 0].tolist())
+                already: set = set()
                 for i in np.flatnonzero(ok):
                     lid = prev_ids[i]
-                    if lid in already:
+                    if lid < 0 or lid in already:
                         continue
-                    # attach to nearest unassigned keypoint within 3 px,
-                    # else inject as a pure-flow feature
                     d = np.linalg.norm(kptsL - new_pts[i], axis=1)
                     j = int(np.argmin(d))
-                    if d[j] < 3.0 and matched_ids[j] < 0 and validL[j]:
+                    if d[j] < 2.0 and matched_ids[j] < 0 and validL[j]:
                         matched_ids[j] = lid
                         already.add(lid)
-        else:
-            pyr_now = build_pyramid(imgL, self.cfg.lk_levels)
+
+        # ---- descriptor match vs last keyframe for remaining gaps ----
+        if self.last_kf:
+            kf = self.last_kf
+            taken = set(matched_ids[matched_ids >= 0].tolist())
+            kf_free = np.asarray([lid not in taken for lid in kf["ids"]])
+            target_free = jnp.asarray(matched_ids < 0) & outL.valid
+            idx, ok = match_descriptors_radius(
+                jnp.asarray(kf["desc"]), outL.desc,
+                jnp.asarray(kf["pts"], jnp.float32), outL.kpts,
+                jnp.asarray(kf["valid"] & kf_free), target_free,
+                radius=self.cfg.search_radius, ratio=self.cfg.match_ratio,
+            )
+            idx, ok = np.asarray(idx), np.asarray(ok)
+            for a_i in np.flatnonzero(ok):
+                if matched_ids[idx[a_i]] < 0:
+                    matched_ids[idx[a_i]] = kf["ids"][a_i]
 
         # ---- new landmark ids ----
         for j in np.flatnonzero(validL):
@@ -163,9 +175,12 @@ class FeatureTracker:
             or tracked < self.cfg.min_tracked_for_nonkf
         )
 
-        # ---- stereo association ----
-        idxR, okR = match_descriptors(
-            outL.desc, outR.desc, outL.valid, outR.valid,
+        # ---- stereo association (epipolar band gated) ----
+        from d2slam_tpu.frontend.matching import match_stereo_epipolar
+
+        idxR, okR = match_stereo_epipolar(
+            outL.desc, outR.desc, outL.kpts, outR.kpts,
+            outL.valid, outR.valid,
             ratio=self.cfg.stereo_ratio,
         )
         idxR, okR = np.asarray(idxR), np.asarray(okR)

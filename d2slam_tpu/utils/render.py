@@ -40,6 +40,16 @@ def render_blobs(
         if not (r <= x0 < W - r and r <= y0 < H - r):
             continue
         ys, xs = np.mgrid[y0 - r : y0 + r + 1, x0 - r : x0 + r + 1]
-        g = np.exp(-((xs - ui) ** 2 + (ys - vi) ** 2) / (2 * sigma**2))
-        img[y0 - r : y0 + r + 1, x0 - r : x0 + r + 1] += ii * g
+        # checkerboard saddle centered EXACTLY at the subpixel
+        # projection: sign(dx)*sign(dy) smoothed — a true corner that
+        # detectors/LK localize consistently across viewpoints (plain
+        # Gaussian blobs give viewpoint-dependent peak bias)
+        dxs = (xs - ui) / sigma
+        dys = (ys - vi) / sigma
+        sx = np.tanh(2.0 * dxs)
+        sy = np.tanh(2.0 * dys)
+        env = np.exp(-(dxs**2 + dys**2) / 4.0)
+        img[y0 - r : y0 + r + 1, x0 - r : x0 + r + 1] += (
+            ii * 0.5 * (sx * sy + 1.0) * env
+        )
     return np.clip(img, 0.0, 1.0)
