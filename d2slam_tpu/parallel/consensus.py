@@ -100,9 +100,9 @@ def build_consensus_rows(
         z = jnp.zeros((6,), dtype)
         r = f(z)
         J = jax.jacfwd(f)(z)  # [6, 6]
-        row = jnp.zeros((6, D), dtype)
-        cols6 = jnp.arange(6, dtype=jnp.int32)
-        row = row.at[:, 15 * w + cols6].add(J)
+        from d2slam_tpu.solver.vio_assembly import place_block
+
+        row = place_block(J, 15 * w, D)
         wgt = act.astype(dtype)
         return r * wgt, row * wgt
 

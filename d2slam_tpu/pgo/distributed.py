@@ -103,9 +103,9 @@ def _solve_with_consensus(
             z = jnp.zeros((6,), dtype)
             r = f(z)
             J = jax.jacfwd(f)(z)
-            row = jnp.zeros((6, D), dtype)
-            cols = jnp.arange(6, dtype=jnp.int32)
-            row = row.at[:, 6 * n + cols].add(J)
+            from d2slam_tpu.solver.vio_assembly import place_block
+
+            row = place_block(J, 6 * n, D)
             w = act.astype(dtype)
             return r * w, row * w
 

@@ -100,10 +100,9 @@ def _build_rows(layout: PGOLayout, state: PGOState, edges: PGOEdges,
         z = jnp.zeros((dof,), dtype)
         r = f(z, z)
         Ja, Jb = jax.jacfwd(f, argnums=(0, 1))(z, z)
-        row = jnp.zeros((dof, D), dtype)
-        cols = jnp.arange(dof, dtype=jnp.int32)
-        row = row.at[:, dof * ei + cols].add(Ja)
-        row = row.at[:, dof * ej + cols].add(Jb)
+        from d2slam_tpu.solver.vio_assembly import place_block
+
+        row = place_block(Ja, dof * ei, D) + place_block(Jb, dof * ej, D)
         return r, row
 
     r, rows = jax.vmap(one)(edges.i, edges.j, edges.rel, edges.sqrt_info)

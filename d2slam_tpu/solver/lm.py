@@ -127,34 +127,50 @@ def lm_solve_vio(
         dlm = -(gl + Hpl @ dx) / hll_d
         return dx, dlm
 
+    rows0 = build(state)
+    # row landmark indices/masks come from the (constant) measurement
+    # arrays — keep them OUT of the scan carry (under shard_map they are
+    # "replicated" while the state-derived arrays are device-varying,
+    # and mixed carry types trip the scan type check)
+    lm_idx, lm_used = rows0.lm, rows0.lm_used
+
+    def as_block(J, r, Jl, cost):
+        return RowBlock(J=J, r=r, Jl=Jl, lm=lm_idx, lm_used=lm_used, cost=cost)
+
     def iteration(carry, _):
-        s, cost, lam, accepted, change = carry
-        rows = build(s)
-        dx, dlm = solve_step(rows, lam)
+        # carry the current linearization so each LM iteration does
+        # exactly ONE build: the candidate's rows double as the next
+        # iteration's linearization when the step is accepted
+        s, (J, r, Jl, cost_arr), cost, lam, accepted, change = carry
+        dx, dlm = solve_step(as_block(J, r, Jl, cost_arr), lam)
         cand = _apply_delta(layout, s, dx, dlm)
-        cand_cost = total_cost(build(cand))
+        rc = build(cand)
+        cand_cost = total_cost(rc)
         accept = cand_cost < cost
-        new_s = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(accept, a, b), cand, s
-        )
+        sel = lambda a, b: jnp.where(accept, a, b)
+        new_s = jax.tree_util.tree_map(sel, cand, s)
+        new_rows = (sel(rc.J, J), sel(rc.r, r), sel(rc.Jl, Jl),
+                    sel(rc.cost, cost_arr))
         new_cost = jnp.where(accept, cand_cost, cost)
         new_lam = jnp.where(
             accept, lam * lambda_scale_down, lam * lambda_scale_up
         )
         step_norm = jnp.sqrt(jnp.sum(dx * dx) + jnp.sum(dlm * dlm))
         new_change = change + jnp.where(accept, step_norm, 0.0)
-        return (new_s, new_cost, new_lam, accepted + accept, new_change), None
+        return (
+            new_s, new_rows, new_cost, new_lam, accepted + accept, new_change
+        ), None
 
-    rows0 = build(state)
     cost0 = total_cost(rows0)
     # derive the scalar carries from the state so they share its
     # device-varying type under shard_map (a plain constant would be
     # "replicated" and trip the scan carry type check on the robot mesh)
     vzero = jnp.sum(state.poses) * 0.0
     lam0 = jnp.asarray(lambda_init, dtype) + vzero
-    (final_state, final_cost, _, accepted, change), _ = jax.lax.scan(
+    (final_state, _, final_cost, _, accepted, change), _ = jax.lax.scan(
         iteration,
-        (state, cost0, lam0, vzero.astype(jnp.int32), vzero),
+        (state, (rows0.J, rows0.r, rows0.Jl, rows0.cost), cost0, lam0,
+         vzero.astype(jnp.int32), vzero),
         None,
         length=max_iters,
     )

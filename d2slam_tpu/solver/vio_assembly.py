@@ -39,6 +39,19 @@ class RowBlock(NamedTuple):
     cost: jax.Array
 
 
+def place_block(J, col0, D):
+    """Place a [r, k] Jacobian block at column offset ``col0`` of a
+    [r, D] row via a one-hot matmul — the TPU-friendly alternative to
+    scatter-add (works under vmap with traced offsets; coincident
+    blocks still sum because callers add the results)."""
+    k = J.shape[-1]
+    cols = col0 + jnp.arange(k, dtype=jnp.int32)
+    onehot = (cols[:, None] == jnp.arange(D, dtype=jnp.int32)[None, :]).astype(
+        J.dtype
+    )
+    return J @ onehot
+
+
 def _huber_weight(sq_norm, delta):
     """sqrt(rho'(s)) for Huber, and rho(s) (Ceres HuberLoss semantics:
     rho(s)=s for s<=d^2, else 2 d sqrt(s) - d^2)."""
@@ -124,16 +137,16 @@ def build_proj_rows(
             f, argnums=(0, 1, 2, 3, 4, 5)
         )(z6, z6, z6, z6, z1, z1)
 
-        # scatter block jacobians into a [3, D] dense row (add, so
+        # place block jacobians into a [3, D] dense row (sums, so
         # coincident blocks — same cam or same frame — accumulate)
-        row = jnp.zeros((3, D), dtype)
-        cols6 = jnp.arange(6, dtype=jnp.int32)
-        row = row.at[:, 15 * fi + cols6].add(J_pi)
-        row = row.at[:, 15 * fj + cols6].add(J_pj)
         ext0 = 15 * layout.W
-        row = row.at[:, ext0 + 6 * ci + cols6].add(J_ei)
-        row = row.at[:, ext0 + 6 * cj + cols6].add(J_ej)
-        row = row.at[:, layout.td_col].add(J_td[:, 0])
+        row = (
+            place_block(J_pi, 15 * fi, D)
+            + place_block(J_pj, 15 * fj, D)
+            + place_block(J_ei, ext0 + 6 * ci, D)
+            + place_block(J_ej, ext0 + 6 * cj, D)
+            + place_block(J_td, jnp.int32(layout.td_col), D)
+        )
         return r, row, J_l[:, 0]
 
     m_data = {
@@ -215,13 +228,9 @@ def build_imu_rows(
         J_pi, J_si, J_pj, J_sj = jax.jacfwd(f, argnums=(0, 1, 2, 3))(z6, z9, z6, z9)
 
         r_w = sqrt_info @ r
-        row = jnp.zeros((15, D), dtype)
-        cols6 = jnp.arange(6, dtype=jnp.int32)
-        cols9 = jnp.arange(9, dtype=jnp.int32)
-        row = row.at[:, 15 * fi + cols6].add(sqrt_info @ J_pi)
-        row = row.at[:, 15 * fi + 6 + cols9].add(sqrt_info @ J_si)
-        row = row.at[:, 15 * fj + cols6].add(sqrt_info @ J_pj)
-        row = row.at[:, 15 * fj + 6 + cols9].add(sqrt_info @ J_sj)
+        Ji = sqrt_info @ jnp.concatenate([J_pi, J_si], axis=1)  # [15, 15]
+        Jj = sqrt_info @ jnp.concatenate([J_pj, J_sj], axis=1)
+        row = place_block(Ji, 15 * fi, D) + place_block(Jj, 15 * fj, D)
         return r_w, row
 
     r, rows = jax.vmap(linearize_one)(imu.frame_i, imu.frame_j, imu.pre, imu.sqrt_info)
