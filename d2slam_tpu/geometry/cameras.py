@@ -174,6 +174,172 @@ def mei_project(pts3, params: MEIParams):
     return jnp.stack([u, v], axis=-1), valid
 
 
+# ---------------------------------------------------------------------------
+# PinholeFull (8-parameter plumb bob: k1..k6, p1, p2 — reference
+# PinholeFullCamera)
+# ---------------------------------------------------------------------------
+
+
+class PinholeFullParams(NamedTuple):
+    fx: jax.Array
+    fy: jax.Array
+    cx: jax.Array
+    cy: jax.Array
+    k1: jax.Array = 0.0
+    k2: jax.Array = 0.0
+    p1: jax.Array = 0.0
+    p2: jax.Array = 0.0
+    k3: jax.Array = 0.0
+    k4: jax.Array = 0.0
+    k5: jax.Array = 0.0
+    k6: jax.Array = 0.0
+
+    @staticmethod
+    def make(fx, fy, cx, cy, k1=0.0, k2=0.0, p1=0.0, p2=0.0,
+             k3=0.0, k4=0.0, k5=0.0, k6=0.0, dtype=jnp.float32):
+        return PinholeFullParams(*[jnp.asarray(v, dtype) for v in
+                                   (fx, fy, cx, cy, k1, k2, p1, p2,
+                                    k3, k4, k5, k6)])
+
+
+def _distort_full(p, c: PinholeFullParams):
+    x, y = p[..., 0], p[..., 1]
+    r2 = x * x + y * y
+    num = 1 + r2 * (c.k1 + r2 * (c.k2 + r2 * c.k3))
+    den = 1 + r2 * (c.k4 + r2 * (c.k5 + r2 * c.k6))
+    rad = num / den
+    xd = x * rad + 2 * c.p1 * x * y + c.p2 * (r2 + 2 * x * x)
+    yd = y * rad + c.p1 * (r2 + 2 * y * y) + 2 * c.p2 * x * y
+    return jnp.stack([xd, yd], axis=-1)
+
+
+def pinhole_full_project(pts3, params: PinholeFullParams):
+    z = pts3[..., 2]
+    valid = z > 1e-6
+    zs = jnp.where(valid, z, 1.0)
+    p = pts3[..., :2] / zs[..., None]
+    pd = _distort_full(p, params)
+    u = params.fx * pd[..., 0] + params.cx
+    v = params.fy * pd[..., 1] + params.cy
+    return jnp.stack([u, v], axis=-1), valid
+
+
+def pinhole_full_lift(uv, params: PinholeFullParams, iters: int = 25):
+    mx = (uv[..., 0] - params.cx) / params.fx
+    my = (uv[..., 1] - params.cy) / params.fy
+    target = jnp.stack([mx, my], axis=-1)
+
+    def body(_, p):
+        return target - (_distort_full(p, params) - p)
+
+    p = jax.lax.fori_loop(0, iters, body, target)
+    ray = jnp.concatenate([p, jnp.ones_like(p[..., :1])], axis=-1)
+    return ray / jnp.linalg.norm(ray, axis=-1, keepdims=True)
+
+
+# ---------------------------------------------------------------------------
+# Cylindrical projection (reference CylindricalCamera — used for the
+# fisheye-undistorted panoramic virtual view)
+# ---------------------------------------------------------------------------
+
+
+class CylindricalParams(NamedTuple):
+    fx: jax.Array  # radians->px horizontally
+    fy: jax.Array
+    cx: jax.Array
+    cy: jax.Array
+
+    @staticmethod
+    def make(fx, fy, cx, cy, dtype=jnp.float32):
+        return CylindricalParams(*[jnp.asarray(v, dtype) for v in
+                                   (fx, fy, cx, cy)])
+
+
+def cylindrical_project(pts3, params: CylindricalParams):
+    """u = fx * atan2(x, z); v = fy * y / sqrt(x^2 + z^2)."""
+    x, y, z = pts3[..., 0], pts3[..., 1], pts3[..., 2]
+    rho = jnp.sqrt(x * x + z * z)
+    u = params.fx * jnp.arctan2(x, z) + params.cx
+    v = params.fy * y / jnp.maximum(rho, 1e-9) + params.cy
+    valid = rho > 1e-9
+    return jnp.stack([u, v], axis=-1), valid
+
+
+def cylindrical_lift(uv, params: CylindricalParams):
+    theta = (uv[..., 0] - params.cx) / params.fx
+    h = (uv[..., 1] - params.cy) / params.fy
+    ray = jnp.stack([jnp.sin(theta), h, jnp.cos(theta)], axis=-1)
+    return ray / jnp.linalg.norm(ray, axis=-1, keepdims=True)
+
+
+# ---------------------------------------------------------------------------
+# Scaramuzza omnidirectional polynomial model (reference
+# ScaramuzzaCamera / OCamCalib convention)
+# ---------------------------------------------------------------------------
+
+
+class ScaramuzzaParams(NamedTuple):
+    """Backward poly (lift): z = a0 + a2 rho^2 + a3 rho^3 + a4 rho^4
+    with the OCam sign convention; affine [c d; e 1] + center."""
+
+    a0: jax.Array
+    a2: jax.Array
+    a3: jax.Array
+    a4: jax.Array
+    c: jax.Array
+    d: jax.Array
+    e: jax.Array
+    cx: jax.Array
+    cy: jax.Array
+
+    @staticmethod
+    def make(a0, a2, a3, a4, cx, cy, c=1.0, d=0.0, e=0.0,
+             dtype=jnp.float32):
+        return ScaramuzzaParams(*[jnp.asarray(v, dtype) for v in
+                                  (a0, a2, a3, a4, c, d, e, cx, cy)])
+
+
+def scaramuzza_lift(uv, params: ScaramuzzaParams):
+    """OCamCalib cam2world: invert affine, evaluate the poly."""
+    up = uv[..., 0] - params.cx
+    vp = uv[..., 1] - params.cy
+    det = params.c - params.d * params.e
+    xs = (up - params.d * vp) / det
+    ys = (-params.e * up + params.c * vp) / det
+    rho = jnp.sqrt(xs * xs + ys * ys)
+    z = params.a0 + rho * rho * (
+        params.a2 + rho * (params.a3 + rho * params.a4)
+    )
+    ray = jnp.stack([xs, ys, -z], axis=-1)  # OCam z-axis convention
+    return ray / jnp.linalg.norm(ray, axis=-1, keepdims=True)
+
+
+def scaramuzza_project(pts3, params: ScaramuzzaParams, iters: int = 30):
+    """world2cam by Newton inversion of rho(theta) (no stored forward
+    poly needed)."""
+    x, y, z = pts3[..., 0], pts3[..., 1], pts3[..., 2]
+    r = jnp.sqrt(x * x + y * y)
+    # solve a0 + a2 rho^2 + a3 rho^3 + a4 rho^4 = -z/r * rho  for rho
+    m = -z / jnp.maximum(r, 1e-9)
+
+    def body(_, rho):
+        f = (params.a0 + rho * rho * (params.a2 + rho * (params.a3
+             + rho * params.a4))) - m * rho
+        df = (2 * params.a2 * rho + 3 * params.a3 * rho * rho
+              + 4 * params.a4 * rho**3) - m
+        return jnp.clip(rho - f / jnp.where(jnp.abs(df) < 1e-9, 1e-9, df),
+                        0.0, 2000.0)
+
+    rho0 = jnp.full_like(m, 100.0)
+    rho = jax.lax.fori_loop(0, iters, body, rho0)
+    xs = x / jnp.maximum(r, 1e-9) * rho
+    ys = y / jnp.maximum(r, 1e-9) * rho
+    u = xs * params.c + ys * params.d + params.cx
+    v = xs * params.e + ys + params.cy
+    valid = r > 1e-9
+    return jnp.stack([u, v], axis=-1), valid
+
+
 def mei_lift(uv, params: MEIParams, iters: int = 20):
     """reference CataCamera::liftProjective: undistort then invert the
     sphere projection."""

@@ -69,3 +69,54 @@ def test_jit_vmap():
     pts = jnp.asarray([[0.0, 0, -1.0], [0.1, 0.1, 2.0]], jnp.float64)
     _, v = pinhole_project(pts, params)
     assert not bool(v[0]) and bool(v[1])
+
+
+def test_pinhole_full_roundtrip():
+    from d2slam_tpu.geometry.cameras import (
+        PinholeFullParams,
+        pinhole_full_lift,
+        pinhole_full_project,
+    )
+
+    params = PinholeFullParams.make(
+        460.0, 459.0, 320.0, 240.0, k1=-0.3, k2=0.09, p1=1e-4, p2=-2e-4,
+        k3=-0.01, k4=-0.05, k5=0.01, k6=0.0, dtype=jnp.float64,
+    )
+    err = roundtrip(pinhole_full_project, pinhole_full_lift, params,
+                    rand_points(fov=0.6))
+    assert err.max() < 1e-6, err.max()
+
+
+def test_cylindrical_roundtrip():
+    from d2slam_tpu.geometry.cameras import (
+        CylindricalParams,
+        cylindrical_lift,
+        cylindrical_project,
+    )
+
+    params = CylindricalParams.make(200.0, 200.0, 320.0, 120.0,
+                                    dtype=jnp.float64)
+    # cylindrical sees all azimuths
+    pts = rand_points(fov=2.5, seed=3)
+    err = roundtrip(cylindrical_project, cylindrical_lift, params, pts)
+    assert err.max() < 1e-9, err.max()
+
+
+def test_scaramuzza_roundtrip():
+    from d2slam_tpu.geometry.cameras import (
+        ScaramuzzaParams,
+        scaramuzza_lift,
+        scaramuzza_project,
+    )
+
+    # typical OCam backward poly for a fisheye (z negative toward scene)
+    params = ScaramuzzaParams.make(
+        a0=-250.0, a2=1.2e-3, a3=-2e-7, a4=6e-10, cx=320.0, cy=240.0,
+        dtype=jnp.float64,
+    )
+    pts = rand_points(fov=1.0, seed=4)
+    uv, valid = scaramuzza_project(pts, params)
+    rays = scaramuzza_lift(uv, params)
+    gt = pts / jnp.linalg.norm(pts, axis=-1, keepdims=True)
+    err = np.linalg.norm(np.asarray(rays - gt), axis=-1)[np.asarray(valid)]
+    assert np.median(err) < 1e-6, np.median(err)

@@ -1,0 +1,72 @@
+"""SuperGlue-style matcher: shapes, identity matching, Sinkhorn sanity."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from d2slam_tpu.frontend.superglue import (
+    SuperGlueConfig,
+    _log_sinkhorn,
+    superglue_init,
+    superglue_match,
+)
+
+
+def test_sinkhorn_doubly_stochastic():
+    rng = np.random.default_rng(0)
+    scores = jnp.asarray(rng.normal(0, 1, (8, 6)), jnp.float32)
+    P = _log_sinkhorn(scores, jnp.asarray(1.0), 50)
+    Pm = np.exp(np.asarray(P))
+    # rows of the non-dustbin part + dustbin column sum to ~1
+    np.testing.assert_allclose(Pm[:8].sum(axis=1), 1.0, atol=1e-3)
+    np.testing.assert_allclose(Pm[:, :6].sum(axis=0), 1.0, atol=1e-3)
+
+
+def _random_set(N=32, seed=1):
+    rng = np.random.default_rng(seed)
+    kpts = jnp.asarray(rng.uniform(10, 300, (N, 2)), jnp.float32)
+    desc = rng.normal(0, 1, (N, 64)).astype(np.float32)
+    desc /= np.linalg.norm(desc, axis=1, keepdims=True)
+    return kpts, jnp.asarray(desc), jnp.ones(N, jnp.float32), jnp.ones(N, bool)
+
+
+def test_identity_matching_mechanism():
+    """With 0 GNN layers the head reduces to (encoder + projection +
+    Sinkhorn + mutual check): identical sets must self-match. (Untrained
+    attention layers homogenize features — discrimination at full depth
+    needs trained weights.)"""
+    cfg = SuperGlueConfig(desc_dim=64, num_layers=0, num_heads=4,
+                          sinkhorn_iters=40, match_threshold=0.05)
+    params = superglue_init(jax.random.PRNGKey(0), cfg)
+    N = 32
+    kpts, desc, scores, valid = _random_set(N)
+    idx, ok = jax.jit(
+        lambda: superglue_match(
+            params, kpts, desc, scores, valid,
+            kpts, desc, scores, valid, (240, 320), cfg,
+        )
+    )()
+    idx, ok = np.asarray(idx), np.asarray(ok)
+    good = (idx[ok] == np.flatnonzero(ok)).mean() if ok.any() else 0
+    assert ok.sum() >= N * 0.5, f"only {ok.sum()} matched"
+    assert good > 0.9, f"self-match rate {good}"
+
+    # masked-out points never match
+    valid2 = valid.at[:5].set(False)
+    _, ok2 = superglue_match(
+        params, kpts, desc, scores, valid2,
+        kpts, desc, scores, valid2, (240, 320), cfg,
+    )
+    assert not np.asarray(ok2)[:5].any()
+
+
+def test_full_depth_smoke():
+    cfg = SuperGlueConfig(desc_dim=64, num_layers=3, num_heads=4,
+                          sinkhorn_iters=20)
+    params = superglue_init(jax.random.PRNGKey(0), cfg)
+    ka, da, sa, va = _random_set(24, seed=2)
+    kb, db, sb, vb = _random_set(30, seed=3)
+    idx, ok = superglue_match(
+        params, ka, da, sa, va, kb, db, sb, vb, (240, 320), cfg
+    )
+    assert idx.shape == (24,) and ok.shape == (24,)
+    assert np.isfinite(np.asarray(idx)).all()
