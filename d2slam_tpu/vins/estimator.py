@@ -380,13 +380,49 @@ class D2Estimator:
     # solve & window management
     # ------------------------------------------------------------------
 
+    def attach_consensus(self, transport_consensus, expected_peers: int,
+                         timeout_ms: int = 100) -> None:
+        """Enable DISTRIBUTED_CAMERA_CONSENUS mode: every window solve
+        becomes ADMM sub-steps exchanging shared poses with peers over
+        the transport (reference solveinDistributedMode,
+        d2estimator.cpp:502-602 — the sync-token handshake is the
+        transport layer's iteration token)."""
+        self._consensus = transport_consensus
+        self._consensus_peers = expected_peers
+        self._consensus_timeout = timeout_ms
+        self._consensus_token = 0
+        self._consensus_tilde = np.zeros((self.layout.W, 6))
+
     def _solve_window(self):
         imu, proj, = self._build_measurements()
         self._last_meas = (imu, proj)
-        new_state, report = self._solve(
-            self.state, imu, proj, self.prior, col_free=self._col_free()
-        )
-        self.state = new_state
+        e = self.cfg.estimator
+        if getattr(self, "_consensus", None) is not None:
+            for _ in range(max(e.consensus_max_steps, 1)):
+                poses_np = np.asarray(self.state.poses, np.float32)
+                mask = np.asarray(self.state.frame_valid)
+                gp, self._consensus_tilde, _ = self._consensus.consensus_step(
+                    self._consensus_token, poses_np, mask,
+                    self._consensus_tilde, self._consensus_peers,
+                    self._consensus_timeout,
+                )
+                self._consensus_token += 1
+                cons = (
+                    jnp.asarray(gp, self.dtype),
+                    jnp.asarray(self._consensus_tilde, self.dtype),
+                    jnp.asarray(mask),
+                    e.rho_frame_T, e.rho_frame_theta,
+                )
+                new_state, report = self._solve(
+                    self.state, imu, proj, self.prior,
+                    col_free=self._col_free(), consensus=cons,
+                )
+                self.state = new_state
+        else:
+            new_state, report = self._solve(
+                self.state, imu, proj, self.prior, col_free=self._col_free()
+            )
+            self.state = new_state
         self.solve_count += 1
         self.last_report = report
         self._sync_back()
@@ -487,6 +523,13 @@ class D2Estimator:
         self.fej_poses, self.fej_sb = new_fej_p, new_fej_sb
         if self.prior is not None:
             self.prior = permute_prior_frames(self.layout, self.prior, slot_map)
+        if getattr(self, "_consensus", None) is not None:
+            tilde = self._consensus_tilde
+            new_tilde = np.zeros_like(tilde)
+            for new, old in enumerate(slot_map):
+                if old >= 0:
+                    new_tilde[new] = tilde[old]
+            self._consensus_tilde = new_tilde
 
     # ------------------------------------------------------------------
     # outputs
