@@ -52,6 +52,7 @@ from d2slam_tpu.vins.landmark_manager import (
     INITIALIZED,
     LandmarkManager,
 )
+from d2slam_tpu.utils.perf import PerfTracker
 from d2slam_tpu.vins.types import FrontendFrame, Odometry
 
 
@@ -97,6 +98,7 @@ class D2Estimator:
         self.solve_count = 0
         self.margin_count = 0
         self.lm_slot_of: Dict[int, int] = {}
+        self.perf = PerfTracker()
 
         psi = e.focal_length / 1.5
         self._solve = jax.jit(
@@ -394,7 +396,8 @@ class D2Estimator:
         self._consensus_tilde = np.zeros((self.layout.W, 6))
 
     def _solve_window(self):
-        imu, proj, = self._build_measurements()
+        with self.perf.stage("build_measurements"):
+            imu, proj = self._build_measurements()
         self._last_meas = (imu, proj)
         e = self.cfg.estimator
         if getattr(self, "_consensus", None) is not None:
@@ -419,13 +422,17 @@ class D2Estimator:
                 )
                 self.state = new_state
         else:
-            new_state, report = self._solve(
-                self.state, imu, proj, self.prior, col_free=self._col_free()
-            )
+            with self.perf.stage("lm_solve"):
+                new_state, report = self._solve(
+                    self.state, imu, proj, self.prior,
+                    col_free=self._col_free()
+                )
+                jax.block_until_ready(new_state.poses)
             self.state = new_state
         self.solve_count += 1
         self.last_report = report
-        self._sync_back()
+        with self.perf.stage("sync_back"):
+            self._sync_back()
 
     def _sync_back(self):
         """Write solved landmark states back to the DB + outlier check
@@ -466,10 +473,11 @@ class D2Estimator:
             remove = jnp.zeros(self.layout.W, bool).at[slot].set(True)
             imu, proj = getattr(self, "_last_meas", (None, None))
             if imu is not None:
-                marg_state = self._fej_marg_state()
-                self.prior = self._marginalize(
-                    marg_state, imu, proj, self.prior, remove
-                )
+                with self.perf.stage("marginalize"):
+                    marg_state = self._fej_marg_state()
+                    self.prior = self._marginalize(
+                        marg_state, imu, proj, self.prior, remove
+                    )
                 self.margin_count += 1
         # host bookkeeping: landmarks & window shift
         self.lmanager.pop_frame(frame.frame_id, self._cam_pose_of())
