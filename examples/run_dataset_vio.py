@@ -1,0 +1,143 @@
+#!/usr/bin/env python
+"""Run the full image pipeline (SuperPoint tracker -> estimator) on an
+EuRoC-ASL dataset directory (EuRoC MAV / TUM-VI / the synthetic writer's
+output) and report ATE against ground truth when available.
+
+Usage:
+  PYTHONPATH=.:$PYTHONPATH python examples/run_dataset_vio.py <dataset_root>
+      [--cpu] [--frames N] [--stride K] [--fx F --fy F --cx C --cy C]
+      [--baseline B] [--sp-weights superpoint.npz] [--out traj.csv]
+
+Notes: with --sp-weights pointing at converted SuperPoint weights the
+pipeline runs the real detector; without weights the random-init network
+produces repeatable but 3D-inconsistent keypoints (see BASELINE.md) —
+useful as a smoke run only.
+"""
+import argparse
+import os
+import sys
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("root")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--frames", type=int, default=0, help="0 = all")
+    ap.add_argument("--stride", type=int, default=1)
+    ap.add_argument("--fx", type=float, default=0.0)
+    ap.add_argument("--fy", type=float, default=0.0)
+    ap.add_argument("--cx", type=float, default=0.0)
+    ap.add_argument("--cy", type=float, default=0.0)
+    ap.add_argument("--baseline", type=float, default=0.1)
+    ap.add_argument("--sp-weights", default="")
+    ap.add_argument("--out", default="")
+    args = ap.parse_args()
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from d2slam_tpu.config import D2Config
+    from d2slam_tpu.datasets import EuRoCDataset
+    from d2slam_tpu.frontend.superpoint import (
+        SuperPointConfig, load_params, superpoint_init,
+    )
+    from d2slam_tpu.frontend.tracker import FeatureTracker, TrackerConfig
+    from d2slam_tpu.geometry.cameras import PinholeParams
+    from d2slam_tpu.utils.evaluation import ate_rmse, write_trajectory_csv
+    from d2slam_tpu.utils.sim import default_extrinsics
+    from d2slam_tpu.vins.estimator import D2Estimator
+
+    ds = EuRoCDataset(args.root)
+    print(f"dataset: {len(ds.frames)} frames, {len(ds.imu)} IMU samples, "
+          f"gt={'yes' if ds.ground_truth is not None else 'no'}")
+    if not ds.frames:
+        print("no frames found")
+        return 1
+
+    # intrinsics: CLI > sensor.yaml > guess from image size
+    img0 = ds.load_image(ds.frames[0][1][0])
+    H, W = img0.shape
+    fx = args.fx
+    if not fx:
+        calib = ds.calib.get("cam0") or {}
+        intr = (calib.get("intrinsics") or [])
+        if len(intr) >= 4:
+            fx, fy, cx, cy = intr[:4]
+        else:
+            fx = fy = 0.9 * W
+            cx, cy = W / 2, H / 2
+            print(f"(no intrinsics found; guessing fx={fx:.0f})")
+    else:
+        fy, cx, cy = args.fy or fx, args.cx or W / 2, args.cy or H / 2
+
+    cfg = D2Config()
+    cfg.estimator.focal_length = fx
+    cfg.estimator.max_imu_samples = 256
+    if args.cpu:
+        cfg.dtype = "float64"
+    ext = default_extrinsics(args.baseline)
+    est = D2Estimator(cfg, ext)
+
+    sp_cfg = SuperPointConfig(max_keypoints=200, threshold=1e-4)
+    if args.sp_weights:
+        sp_params = load_params(args.sp_weights, sp_cfg)
+        print(f"loaded SuperPoint weights from {args.sp_weights}")
+    else:
+        sp_params = superpoint_init(jax.random.PRNGKey(0), sp_cfg)
+        print("WARNING: random-init SuperPoint (smoke run; pass "
+              "--sp-weights for real accuracy)")
+    cams = [PinholeParams.make(fx, fy, cx, cy, dtype=jnp.float32)] * 2
+    frame_dt = (
+        (ds.frames[-1][0] - ds.frames[0][0]) / max(len(ds.frames) - 1, 1)
+    )
+    tracker = FeatureTracker(
+        sp_params, sp_cfg, cams, TrackerConfig(),
+        frame_rate=1.0 / max(frame_dt * args.stride, 1e-3),
+    )
+
+    stamps, poses = [], []
+    n_done = 0
+    frame_id = 0
+    for ev in ds.play(frame_stride=args.stride):
+        if ev[0] == "imu":
+            est.input_imu(ev[1], ev[2], ev[3])
+            continue
+        _, t, imgs = ev
+        ff = tracker.process_stereo(
+            t, frame_id, imgs[0], imgs[1] if len(imgs) > 1 else imgs[0]
+        )
+        frame_id += 1
+        if ff is None:
+            continue
+        od = est.input_frame(ff)
+        if od is not None:
+            stamps.append(t)
+            poses.append(od.pose)
+        n_done += 1
+        if args.frames and n_done >= args.frames:
+            break
+
+    print(f"processed {n_done} keyframes, {est.solve_count} solves, "
+          f"{est.margin_count} marginalizations")
+    print(est.perf.summary())
+    if args.out and stamps:
+        write_trajectory_csv(args.out, stamps, poses)
+        print(f"trajectory -> {args.out}")
+    if ds.ground_truth is not None and len(stamps) > 3:
+        rmse, _ = ate_rmse(
+            stamps, np.asarray(poses),
+            ds.ground_truth[:, 0], ds.ground_truth[:, 1:8],
+        )
+        print(f"ATE-RMSE (4-DoF aligned): {rmse:.3f} m")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
