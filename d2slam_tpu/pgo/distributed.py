@@ -70,6 +70,59 @@ def arock_pgo_round(
     return ARockPGOCarry(state=new_state, tilde=tilde), report
 
 
+def distributed_pgo_solve(
+    layout: PGOLayout,
+    state: PGOState,
+    edges: PGOEdges,
+    *,
+    axis_name: str,
+    est_mask,
+    own_mask,
+    fixed_mask,
+    edge_mask,
+    rounds: int = 8,
+    rot_init: bool = True,
+    **round_kw,
+):
+    """The reference's full far-field sequence inside shard_map:
+    chordal rotation initialization (on this robot's known graph) first,
+    then ARock/ADMM rounds (reference d2pgo.cpp:155-328 solve_multi:
+    RotInit -> waitForRotInitFinish -> ARockPGO). The rot-init result is
+    itself consensus-averaged so all robots start the rounds from a
+    common attitude field.
+    """
+    from d2slam_tpu.geometry.lie import quat_normalize
+    from d2slam_tpu.pgo.rot_init import chordal_rotation_init
+
+    poses = state.poses
+    if rot_init:
+        # initialization uses ALL edges this robot knows about — the
+        # per-robot edge split only matters for the consensus objective
+        # (double-counting); an initial guess has no such concern
+        # (reference: every drone's RotInit runs on its full received
+        # graph, rotation_initialization_base.hpp)
+        act = edges.valid & est_mask[edges.i] & est_mask[edges.j]
+        poses = chordal_rotation_init(
+            poses, state.valid, edges.i, edges.j,
+            quat_normalize(edges.rel[:, 3:]), act, fixed_mask,
+        )
+        # average the initialized attitudes across robots
+        poses = consensus_average(poses, est_mask, axis_name)
+        state = state._replace(poses=poses)
+
+    carry = ARockPGOCarry(
+        state=state, tilde=jnp.zeros((layout.N, 6), poses.dtype)
+    )
+    report = None
+    for _ in range(rounds):
+        carry, report = arock_pgo_round(
+            layout, carry, edges, axis_name=axis_name, est_mask=est_mask,
+            own_mask=own_mask, fixed_mask=fixed_mask, edge_mask=edge_mask,
+            **round_kw,
+        )
+    return carry.state, report
+
+
 def _solve_with_consensus(
     layout, state, edges, fixed_mask, ref_poses, tilde, active,
     *, rho, max_iters, huber_delta, est_mask, edge_mask,

@@ -194,3 +194,53 @@ def test_distributed_pgo_matches_centralized():
 
     c_cen, c_dist = full_cost(cen), full_cost(stitched)
     assert c_dist < max(c_cen * 2.0, c_cen + 1e-3), (c_cen, c_dist)
+
+
+def test_distributed_pgo_with_rot_init():
+    """Full far-field sequence (chordal rot-init -> ADMM rounds) with
+    badly corrupted initial rotations."""
+    import functools
+
+    from d2slam_tpu.geometry.lie import so3_exp_quat
+    from d2slam_tpu.pgo.distributed import distributed_pgo_solve
+
+    mesh = robot_mesh(2)
+    gt, valid, edges, edge_mask, own, n = make_two_drone_graph(seed=7)
+    rng = np.random.default_rng(8)
+    bad = np.asarray(gt).copy()
+    for k in range(1, n):
+        bad[k, 3:] = np.asarray(so3_exp_quat(jnp.asarray(rng.normal(0, 1.0, 3))))
+        bad[k, :3] += rng.normal(0, 0.2, 3)
+    init = PGOState(poses=jnp.asarray(bad), valid=valid)
+    fixed = jnp.zeros(LAYOUT.N, bool).at[0].set(True)
+    est = np.zeros((2, LAYOUT.N), bool)
+    est[:, :n] = True
+
+    from jax.sharding import PartitionSpec as P
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(P("robot"),) * 4,
+        out_specs=P("robot"),
+    )
+    def solve(state_b, est_b, own_b, emask_b):
+        s = jax.tree_util.tree_map(lambda x: x[0], state_b)
+        out, _ = distributed_pgo_solve(
+            LAYOUT, s, edges, axis_name="robot", est_mask=est_b[0],
+            own_mask=own_b[0], fixed_mask=fixed, edge_mask=emask_b[0],
+            rounds=8, rho=1.0, max_iters=4, huber_delta=2.0,
+        )
+        return jax.tree_util.tree_map(lambda x: x[None], out)
+
+    batched = jax.tree_util.tree_map(lambda x: jnp.stack([x, x]), init)
+    out = solve(batched, jnp.asarray(est), jnp.asarray(own),
+                jnp.asarray(edge_mask))
+    poses = np.asarray(out.poses)
+    errs = []
+    for r in range(2):
+        for k in np.flatnonzero(own[r]):
+            d = np.asarray(pose_boxminus(jnp.asarray(poses[r, k]),
+                                         jnp.asarray(np.asarray(gt)[k])))
+            errs.append(np.abs(d).max())
+    # from garbage rotations to near-GT through rot-init + ADMM
+    assert max(errs) < 0.3, f"max err {max(errs)}"
