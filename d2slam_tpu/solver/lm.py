@@ -108,10 +108,14 @@ def lm_solve_vio(
         J = rows.J * col_free_f[None, :]
         H = J.T @ J
         g = J.T @ rows.r
-        # landmark (inverse-depth) scalar columns
-        hll = jnp.zeros((L,), dtype).at[rows.lm].add(rows.Jl * rows.Jl)
-        gl = jnp.zeros((L,), dtype).at[rows.lm].add(rows.Jl * rows.r)
-        Hpl = jnp.zeros((L, D), dtype).at[rows.lm].add(J * rows.Jl[:, None])
+        # landmark (inverse-depth) scalar columns — segment sums as
+        # one-hot matmuls (scatters serialize on TPU; these are GEMMs)
+        onehot = (
+            rows.lm[:, None] == jnp.arange(L, dtype=jnp.int32)[None, :]
+        ).astype(dtype)  # [N, L]
+        hll = (rows.Jl * rows.Jl) @ onehot
+        gl = (rows.Jl * rows.r) @ onehot
+        Hpl = onehot.T @ (J * rows.Jl[:, None])
 
         eps = jnp.asarray(1e-8, dtype)
         hll_d = hll * (1.0 + lam) + eps
