@@ -86,3 +86,39 @@ def test_noisy_sequence():
     # biases should be picked up
     sb = np.asarray(est.state.sb[len(est.frames) - 1])
     assert np.linalg.norm(sb[6:9] - [0.002, 0.001, -0.002]) < 5e-3
+
+
+def test_monocular_sequence():
+    """MONOCULAR mode (reference CameraConfig::MONOCULAR): cam0 only,
+    metric scale observable through the IMU on a dynamic trajectory."""
+    cfg = D2Config()
+    cfg.num_cams = 1
+    cfg.estimator.max_sld_win_size = 8
+    cfg.estimator.min_solve_frames = 4
+    cfg.estimator.max_lm_slots = 128
+    cfg.estimator.max_solve_measurements = 512
+    cfg.estimator.max_imu_samples = 128
+    cfg.estimator.max_solver_iters = 5
+    sim = CircleSim()
+    est = D2Estimator(cfg, sim.ext[:1])
+
+    for (t, a, g) in sim.imu_samples(-0.3, 0.0):
+        est.input_imu(t, a, g)
+    errs = []
+    t_prev = 0.0
+    for k in range(20):
+        t = k / sim.frame_hz
+        if k > 0:
+            for (ts, a, g) in sim.imu_samples(t_prev + 1e-6, t + 1e-6):
+                est.input_imu(ts, a, g)
+        t_prev = t
+        ff = sim.frame(k)
+        ff.observations = ff.observations[:1]  # strip the right camera
+        odom = est.input_frame(ff)
+        if odom is not None:
+            gt_pose, _ = sim.gt_pose(t)
+            errs.append((np.asarray(odom.pose), gt_pose, None, odom))
+    rmse = ate(errs)
+    # mono + IMU: scale recovered from accelerometer excitation;
+    # noiseless sim should stay within a few cm
+    assert rmse < 0.08, f"mono ATE {rmse}"
