@@ -119,6 +119,16 @@ def _build_rows(layout: PGOLayout, state: PGOState, edges: PGOEdges,
     return (rows * w[:, :, None]).reshape(Eed * dof, D), (r * w).reshape(-1), cost
 
 
+def predicted_odometry(optimized_pose, ego_pose_at_opt, ego_pose_now):
+    """Extrapolate an optimized pose with the ego-motion accumulated
+    since (reference D2PGO::getPredictedOdoms, d2pgo.cpp:663-700: the
+    realtime output between PGO updates). All args [..., 7]."""
+    from d2slam_tpu.geometry.lie import pose_compose, pose_inverse
+
+    rel = pose_compose(pose_inverse(ego_pose_at_opt), ego_pose_now)
+    return pose_compose(optimized_pose, rel)
+
+
 def solve_pgo(
     layout: PGOLayout,
     state: PGOState,

@@ -95,3 +95,26 @@ def test_transport_consensus_two_robots():
     assert np.abs(dgt).max() < 8e-2, f"gt err {np.abs(dgt).max()}"  # 4 ADMM rounds
     ta.close()
     tb.close()
+
+
+def test_consensus_tolerates_silent_peer():
+    """Reference lossy-link semantics: a peer that misses the timeout
+    simply drops out of the round's average (waitForSync timeout,
+    VINSConsenusSolver.cpp:101-109) — the solve proceeds."""
+    try:
+        ta = UDPMulticastTransport(self_id=1, port=17675)
+    except OSError:
+        pytest.skip("multicast unavailable")
+    tc = TransportConsensus(ta, 1)
+    W = 4
+    poses = np.tile([0, 0, 0, 0, 0, 0, 1.0], (W, 1)).astype(np.float32)
+    mask = np.ones(W, bool)
+    tilde = np.zeros((W, 6))
+    gp, new_tilde, n_peers = tc.consensus_step(
+        0, poses, mask, tilde, expected_peers=2, timeout_ms=150
+    )
+    assert n_peers == 0  # nobody answered
+    # global average degrades gracefully to our own estimate
+    np.testing.assert_allclose(gp, poses, atol=1e-6)
+    np.testing.assert_allclose(new_tilde, 0, atol=1e-6)
+    ta.close()

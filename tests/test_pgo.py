@@ -137,3 +137,22 @@ def test_g2o_roundtrip(tmp_path):
     np.testing.assert_allclose(v2[3], verts[3], atol=1e-8)
     np.testing.assert_allclose(e2[0][2], es[0][2], atol=1e-8)
     np.testing.assert_allclose(e2[0][3], es[0][3], atol=1e-8)
+
+
+def test_predicted_odometry():
+    from d2slam_tpu.pgo.pose_graph import predicted_odometry
+
+    rng = np.random.default_rng(5)
+    opt = jnp.asarray(np.concatenate(
+        [rng.normal(0, 1, 3),
+         np.asarray(so3_exp_quat(jnp.asarray(rng.normal(0, 0.3, 3))))]))
+    ego0 = jnp.asarray(np.concatenate(
+        [rng.normal(0, 1, 3),
+         np.asarray(so3_exp_quat(jnp.asarray(rng.normal(0, 0.3, 3))))]))
+    delta = jnp.asarray(np.concatenate(
+        [rng.normal(0, 0.2, 3),
+         np.asarray(so3_exp_quat(jnp.asarray(rng.normal(0, 0.05, 3))))]))
+    ego_now = pose_compose(ego0, delta)
+    pred = predicted_odometry(opt, ego0, ego_now)
+    expect = pose_compose(opt, delta)
+    np.testing.assert_allclose(np.asarray(pred), np.asarray(expect), atol=1e-12)
