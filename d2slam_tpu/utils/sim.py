@@ -66,6 +66,7 @@ class CircleSim:
         max_obs_per_frame=60,
         seed=0,
         baseline=0.1,
+        dynamic_start=False,
     ):
         self.rng = np.random.default_rng(seed)
         ang = self.rng.uniform(0, 2 * np.pi, n_landmarks)
@@ -82,9 +83,18 @@ class CircleSim:
         self.max_obs = max_obs_per_frame
         self.ext = default_extrinsics(baseline)
         self.omega = 0.5
+        self.dynamic_start = dynamic_start
+
+    def _gt(self, t):
+        if self.dynamic_start:
+            from d2slam_tpu.utils.synthetic import circle_gt
+
+            p, v, a, q = circle_gt(t)
+            return p, v, a, q, self.omega
+        return circle_gt_ramp(t)
 
     def gt_pose(self, t):
-        p, v, _, q, _ = circle_gt_ramp(t)
+        p, v, _, q, _ = self._gt(t)
         return np.concatenate([p, q]), v
 
     def imu_samples(self, t0, t1) -> List[Tuple[float, np.ndarray, np.ndarray]]:
@@ -93,7 +103,7 @@ class CircleSim:
         n1 = int(np.floor(t1 * self.imu_hz + 1e-9))
         for i in range(n0, n1 + 1):
             t = i / self.imu_hz
-            p, v, a, q, gyro_z = circle_gt_ramp(t)
+            p, v, a, q, gyro_z = self._gt(t)
             R = np_lie.quat_to_rotmat(q)
             acc_b = R.T @ (a + GRAVITY) + self.acc_bias
             gyr_b = np.array([0.0, 0.0, gyro_z]) + self.gyr_bias

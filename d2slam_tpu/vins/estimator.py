@@ -170,6 +170,17 @@ class D2Estimator:
             return False
         acc = self.imubuf.mean_acc()
         gyr = self.imubuf.mean_gyro()
+        # dynamic start? (specific force deviates from gravity —
+        # centripetal/linear acceleration present). The static path's
+        # gravity alignment would bake a tilted gauge; use the SFM
+        # initialization instead (reference mono SFM path,
+        # d2vinsstate.cpp:763-1040).
+        g = self.cfg.imu.g_norm
+        # |acc| alone misses centripetal acceleration (perpendicular to
+        # gravity, so the norm barely changes) — also gate on body rate
+        if (abs(np.linalg.norm(acc) - g) > 0.03 * g
+                or np.linalg.norm(gyr) > 0.05):
+            return self._try_init_sfm(frame)
         # attitude aligning measured specific force with world +z
         a = acc / np.linalg.norm(acc)
         up = np.array([0.0, 0.0, 1.0])
@@ -199,6 +210,84 @@ class D2Estimator:
         self.fej_poses[0], self.fej_sb[0] = pose0, sb0
         self.prior = make_pose_prior(self.layout, self.state, frame=0)
         self.initialized = True
+        return True
+
+    def _try_init_sfm(self, frame: FrontendFrame) -> bool:
+        """Dynamic-start initialization: buffer frames until the SFM +
+        linear-alignment pipeline succeeds, then populate the window."""
+        from d2slam_tpu.vins.initialization import linear_alignment
+        from d2slam_tpu.vins.sfm_init import align_to_gravity, sfm_initialize
+
+        buf = getattr(self, "_sfm_buffer", None)
+        if buf is None:
+            buf = self._sfm_buffer = []
+        obs0 = {}
+        for co in frame.observations:
+            if co.cam_id == 0:
+                for i, lid in enumerate(co.landmark_ids):
+                    obs0[int(lid)] = np.asarray(co.rays[i], np.float64)
+        buf.append((frame, obs0))
+        if len(buf) > self.layout.W - 2:
+            buf.pop(0)
+        if len(buf) < 6:
+            return False
+
+        def preint(bg):
+            pres = []
+            for k in range(len(buf) - 1):
+                d, a, g_, m = self.imubuf.period(
+                    buf[k][0].stamp, buf[k + 1][0].stamp,
+                    self.layout.N_IMU_SAMPLES
+                )
+                pres.append(preintegrate(
+                    jnp.asarray(d), jnp.asarray(a), jnp.asarray(g_),
+                    jnp.asarray(m), jnp.zeros(3), jnp.asarray(bg),
+                    default_noise_matrix(
+                        self.cfg.imu.acc_n, self.cfg.imu.gyr_n,
+                        self.cfg.imu.acc_w, self.cfg.imu.gyr_w,
+                        dtype=jnp.float64,
+                    ),
+                ))
+            return pres
+
+        ext0 = np.asarray(self.state.ext[0], np.float64)
+        out = sfm_initialize([b[1] for b in buf], ext0, preint(np.zeros(3)))
+        if out is None:
+            return False
+        la = linear_alignment(out["body_poses_visual"], preint(out["dbg"]))
+        if la is None:
+            return False
+        vels_body, g_vis, scale = la
+        poses_init, vels = align_to_gravity(
+            out["body_poses_visual"], vels_body, g_vis, scale,
+            g_norm=self.cfg.imu.g_norm,
+        )
+
+        S = len(buf)
+        poses = np.asarray(self.state.poses).copy()
+        sb = np.asarray(self.state.sb).copy()
+        fv = np.zeros(self.layout.W, bool)
+        for k, (bframe, _) in enumerate(buf):
+            self.frames.append(
+                WindowFrame(bframe.frame_id, bframe.stamp, True)
+            )
+            poses[k] = poses_init[k]
+            sb[k] = np.concatenate([vels[k], np.zeros(3), out["dbg"]])
+            fv[k] = True
+            self.fej_poses[k], self.fej_sb[k] = poses[k], sb[k]
+        self.state = self.state._replace(
+            poses=jnp.asarray(poses, self.dtype),
+            sb=jnp.asarray(sb, self.dtype),
+            frame_valid=jnp.asarray(fv),
+        )
+        self.prior = make_pose_prior(self.layout, self.state, frame=0)
+        self.initialized = True
+        # the buffered frames' observations never reached the landmark
+        # manager (ingestion happens post-init) — replay them, except
+        # the current frame which input_frame ingests right after
+        for (bframe, _) in buf[:-1]:
+            self._ingest_observations(bframe)
+        self._sfm_buffer = None
         return True
 
     def _add_frame(self, frame: FrontendFrame) -> None:

@@ -122,3 +122,44 @@ def test_monocular_sequence():
     # mono + IMU: scale recovered from accelerometer excitation;
     # noiseless sim should stay within a few cm
     assert rmse < 0.08, f"mono ATE {rmse}"
+
+
+def test_dynamic_start_sfm_init():
+    """Monocular dynamic start (already moving at t=0): static gravity
+    alignment is invalid; the estimator must fall back to the SFM +
+    linear-alignment initialization path."""
+    cfg = D2Config()
+    cfg.num_cams = 1
+    cfg.estimator.max_sld_win_size = 8
+    cfg.estimator.min_solve_frames = 4
+    cfg.estimator.max_lm_slots = 128
+    cfg.estimator.max_solve_measurements = 512
+    cfg.estimator.max_imu_samples = 128
+    cfg.estimator.max_solver_iters = 5
+    sim = CircleSim(dynamic_start=True)
+    est = D2Estimator(cfg, sim.ext[:1])
+
+    for (t, a, g) in sim.imu_samples(-0.3, 0.0):
+        est.input_imu(t, a, g)
+    outs = []
+    t_prev = 0.0
+    for k in range(16):
+        t = k / sim.frame_hz
+        if k > 0:
+            for (ts, a, g) in sim.imu_samples(t_prev + 1e-6, t + 1e-6):
+                est.input_imu(ts, a, g)
+        t_prev = t
+        ff = sim.frame(k)
+        ff.observations = ff.observations[:1]
+        odom = est.input_frame(ff)
+        if odom is not None:
+            gt_pose, gt_vel = sim.gt_pose(t)
+            outs.append((np.asarray(odom.pose), gt_pose, gt_vel, odom))
+    assert est.initialized, "SFM init never triggered"
+    assert len(outs) >= 8
+    # velocity magnitude immediately correct (2.5 m/s on the circle) —
+    # the static path would start at 0 and drift
+    v_last = np.linalg.norm(outs[-1][3].vel)
+    assert abs(v_last - 2.5) < 0.3, f"|v| {v_last}"
+    rmse = ate(outs)
+    assert rmse < 0.25, f"dynamic-start ATE {rmse}"
