@@ -190,6 +190,53 @@ def linear_alignment(poses_visual, pre_list, g_norm=9.805):
     s = x[-1]
     if s <= 0:
         return None
-    # refine gravity onto the |g| = g_norm sphere (2-dof tangent update)
     g = g / np.linalg.norm(g) * g_norm
+    # RefineGravity (reference d2vinsstate.cpp RefineGravity): re-solve
+    # with |g| constrained to the sphere — g = g_norm*g_hat + B(g) w,
+    # w in the 2-dof tangent — iterating a few times. This removes the
+    # scale/gravity-magnitude correlation of the unconstrained solve.
+    for _ in range(4):
+        g_hat = g / np.linalg.norm(g)
+        tmp = np.array([0.0, 0.0, 1.0])
+        if abs(g_hat[2]) > 0.9:
+            tmp = np.array([1.0, 0.0, 0.0])
+        b1 = np.cross(g_hat, tmp); b1 /= np.linalg.norm(b1)
+        b2 = np.cross(g_hat, b1)
+        B = np.stack([b1, b2], axis=1)  # [3, 2]
+        n2 = 3 * (K + 1) + 2 + 1
+        A2 = np.zeros((n2, n2))
+        r2 = np.zeros(n2)
+        for k, pre in enumerate(pre_list):
+            dt = float(pre.sum_dt)
+            Ri = np_lie.quat_to_rotmat(poses_visual[k][3:])
+            Rj = np_lie.quat_to_rotmat(poses_visual[k + 1][3:])
+            pi, pj = poses_visual[k][:3], poses_visual[k + 1][:3]
+            H = np.zeros((6, n2))
+            z = np.zeros(6)
+            vi = 3 * k
+            vj = 3 * (k + 1)
+            wc = 3 * (K + 1)
+            sc = wc + 2
+            H[0:3, vi:vi + 3] = -dt * np.eye(3)
+            H[0:3, wc:wc + 2] = 0.5 * Ri.T @ B * dt * dt
+            H[0:3, sc] = Ri.T @ (pj - pi)
+            z[0:3] = np.asarray(pre.delta_p) \
+                - 0.5 * (Ri.T @ (g_norm * g_hat)) * dt * dt
+            H[3:6, vi:vi + 3] = -np.eye(3)
+            H[3:6, vj:vj + 3] = Ri.T @ Rj
+            H[3:6, wc:wc + 2] = Ri.T @ B * dt
+            z[3:6] = np.asarray(pre.delta_v) - (Ri.T @ (g_norm * g_hat)) * dt
+            A2 += H.T @ H
+            r2 += H.T @ z
+        try:
+            x2 = np.linalg.solve(A2 + 1e-9 * np.eye(n2), r2)
+        except np.linalg.LinAlgError:
+            break
+        vels = x2[: 3 * (K + 1)].reshape(K + 1, 3)
+        w = x2[3 * (K + 1): 3 * (K + 1) + 2]
+        s = x2[-1]
+        g = g_norm * g_hat + B @ w
+        g = g / np.linalg.norm(g) * g_norm
+    if s <= 0:
+        return None
     return vels, g, float(s)
