@@ -14,6 +14,14 @@ Layout (little-endian):
   pose f32[7] | gdesc_scale f32 | gdesc i8[gdesc_dim] |
   per-landmark: id i64 | cam u8 | ray f32[3] | vel f32[3] |
                 scale f32 | desc i8[desc_dim]
+
+Version 2 appends the state block the reference carries for its
+SOLVE_ALL/SERVER estimation modes (VisualImageDescArray's imu_buf,
+Ba/Bg and sld_win_status, reference d2frontend_types.h:85-527):
+  ba f32[3] | bg f32[3] | vel f32[3] |
+  n_imu u16 | per-sample: t f64 | acc f32[3] | gyr f32[3] |
+  n_sld u16 | sld_win i64[n_sld]
+Version-1 packets decode with an empty state block.
 """
 from __future__ import annotations
 
@@ -23,8 +31,9 @@ from typing import NamedTuple, Optional
 import numpy as np
 
 MAGIC = 0xD25A11A7
-VERSION = 1
+VERSION = 2
 _HDR = struct.Struct("<IHHqdBHHH")
+_Z3 = np.zeros(3, np.float32)
 
 
 class RemoteKeyframePacket(NamedTuple):
@@ -39,6 +48,14 @@ class RemoteKeyframePacket(NamedTuple):
     lm_rays: np.ndarray     # [N, 3] float32
     lm_vels: np.ndarray     # [N, 3] float32
     lm_desc: np.ndarray     # [N, D] float32 (renormalized on decode)
+    # --- v2 state block (SOLVE_ALL/SERVER modes) ---
+    ba: np.ndarray = _Z3    # [3] accel bias estimate
+    bg: np.ndarray = _Z3    # [3] gyro bias estimate
+    vel: np.ndarray = _Z3   # [3] world-frame velocity estimate
+    imu_t: np.ndarray = np.zeros(0, np.float64)      # [S] sample stamps
+    imu_acc: np.ndarray = np.zeros((0, 3), np.float32)  # [S, 3]
+    imu_gyr: np.ndarray = np.zeros((0, 3), np.float32)  # [S, 3]
+    sld_win: np.ndarray = np.zeros(0, np.int64)  # sender's window frame ids
 
 
 def _quant(v: np.ndarray):
@@ -75,6 +92,18 @@ def encode_keyframe(pkt: RemoteKeyframePacket) -> bytes:
         out.append(np.asarray(pkt.lm_vels[i], np.float32).tobytes())
         out.append(struct.pack("<f", dscale))
         out.append(dq.tobytes())
+    # v2 state block
+    out.append(np.asarray(pkt.ba, np.float32).tobytes())
+    out.append(np.asarray(pkt.bg, np.float32).tobytes())
+    out.append(np.asarray(pkt.vel, np.float32).tobytes())
+    s = len(pkt.imu_t)
+    out.append(struct.pack("<H", s))
+    for k in range(s):
+        out.append(struct.pack("<d", float(pkt.imu_t[k])))
+        out.append(np.asarray(pkt.imu_acc[k], np.float32).tobytes())
+        out.append(np.asarray(pkt.imu_gyr[k], np.float32).tobytes())
+    out.append(struct.pack("<H", len(pkt.sld_win)))
+    out.append(np.asarray(pkt.sld_win, np.int64).tobytes())
     return b"".join(out)
 
 
@@ -84,7 +113,7 @@ def decode_keyframe(buf: bytes) -> Optional[RemoteKeyframePacket]:
     magic, ver, drone_id, frame_id, stamp, is_kf, n, G, D = _HDR.unpack_from(
         buf, 0
     )
-    if magic != MAGIC or ver != VERSION:
+    if magic != MAGIC or ver not in (1, 2):
         return None
     off = _HDR.size
     pose = np.frombuffer(buf, np.float32, 7, off).copy()
@@ -112,9 +141,30 @@ def decode_keyframe(buf: bytes) -> Optional[RemoteKeyframePacket]:
         dq = np.frombuffer(buf, np.int8, D, off)
         off += D
         lm_desc[i] = _dequant(dq, dscale, renorm=True)
+
+    ba, bg, vel = _Z3, _Z3, _Z3
+    imu_t = np.zeros(0, np.float64)
+    imu_acc = np.zeros((0, 3), np.float32)
+    imu_gyr = np.zeros((0, 3), np.float32)
+    sld_win = np.zeros(0, np.int64)
+    if ver >= 2:
+        ba = np.frombuffer(buf, np.float32, 3, off).copy(); off += 12
+        bg = np.frombuffer(buf, np.float32, 3, off).copy(); off += 12
+        vel = np.frombuffer(buf, np.float32, 3, off).copy(); off += 12
+        (s,) = struct.unpack_from("<H", buf, off); off += 2
+        imu_t = np.zeros(s, np.float64)
+        imu_acc = np.zeros((s, 3), np.float32)
+        imu_gyr = np.zeros((s, 3), np.float32)
+        for k in range(s):
+            (imu_t[k],) = struct.unpack_from("<d", buf, off); off += 8
+            imu_acc[k] = np.frombuffer(buf, np.float32, 3, off); off += 12
+            imu_gyr[k] = np.frombuffer(buf, np.float32, 3, off); off += 12
+        (n_sld,) = struct.unpack_from("<H", buf, off); off += 2
+        sld_win = np.frombuffer(buf, np.int64, n_sld, off).copy()
     return RemoteKeyframePacket(
         drone_id=drone_id, frame_id=frame_id, stamp=stamp,
         is_keyframe=bool(is_kf), pose=pose, gdesc=gdesc,
         lm_ids=lm_ids, lm_cam=lm_cam, lm_rays=lm_rays, lm_vels=lm_vels,
-        lm_desc=lm_desc,
+        lm_desc=lm_desc, ba=ba, bg=bg, vel=vel,
+        imu_t=imu_t, imu_acc=imu_acc, imu_gyr=imu_gyr, sld_win=sld_win,
     )

@@ -158,6 +158,60 @@ def make_pose_prior(
     return PriorBlock(J=J, r=jnp.zeros((D,), dtype), lin=state, row_valid=row_valid)
 
 
+def add_gauge_rows(
+    layout: VIOLayout,
+    prior: PriorBlock,
+    state: VIOState,
+    frame: int,
+    pos_sqrt_info: float = 1.0,
+    rot_sqrt_info: float = 1.0,
+) -> PriorBlock:
+    """Write a 6-dof pose prior on ``frame`` into free rows of an
+    existing prior (host side).
+
+    Used when a new drone joins the SOLVE_ALL window: every drone's
+    first frame gets a gauge prior, the main drone's 100x stiffer
+    (reference createPriorFactor4FirstFrame,
+    d2vins/src/estimator/d2vinsstate.cpp:503-555).
+    """
+    import numpy as np
+
+    J = np.asarray(prior.J).copy()
+    r = np.asarray(prior.r).copy()
+    rv = np.asarray(prior.row_valid).copy()
+    free = np.flatnonzero(~rv)
+    if len(free) < 6:
+        raise RuntimeError("no free prior rows for gauge prior")
+    rows = free[:6]
+    c0 = 15 * frame
+    w = np.concatenate(
+        [np.full(3, pos_sqrt_info), np.full(3, rot_sqrt_info)]
+    )
+    J[rows, :] = 0.0
+    J[rows, c0 : c0 + 6] = np.diag(w)
+    r[rows] = 0.0
+    rv[rows] = True
+
+    lin = prior.lin
+    poses = np.asarray(lin.poses).copy()
+    sb = np.asarray(lin.sb).copy()
+    fv = np.asarray(lin.frame_valid).copy()
+    poses[frame] = np.asarray(state.poses[frame])
+    sb[frame] = np.asarray(state.sb[frame])
+    fv[frame] = True
+    dtype = prior.J.dtype
+    return prior._replace(
+        J=jnp.asarray(J, dtype),
+        r=jnp.asarray(r, dtype),
+        row_valid=jnp.asarray(rv),
+        lin=lin._replace(
+            poses=jnp.asarray(poses, dtype),
+            sb=jnp.asarray(sb, dtype),
+            frame_valid=jnp.asarray(fv),
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Host-side prior column maintenance across window shifts
 # ---------------------------------------------------------------------------

@@ -67,6 +67,7 @@ class CircleSim:
         seed=0,
         baseline=0.1,
         dynamic_start=False,
+        phase=0.0,
     ):
         self.rng = np.random.default_rng(seed)
         ang = self.rng.uniform(0, 2 * np.pi, n_landmarks)
@@ -84,14 +85,31 @@ class CircleSim:
         self.ext = default_extrinsics(baseline)
         self.omega = 0.5
         self.dynamic_start = dynamic_start
+        # rigid world-yaw offset of the whole trajectory (multi-drone
+        # sims put each drone at a different circle phase; body-frame
+        # IMU readings are invariant under world yaw, so the same
+        # generator stays physically consistent)
+        self.phase = phase
+        c, s = np.cos(phase), np.sin(phase)
+        self._Rz = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+        self._qz = np.array([0.0, 0.0, np.sin(phase / 2), np.cos(phase / 2)])
 
     def _gt(self, t):
         if self.dynamic_start:
             from d2slam_tpu.utils.synthetic import circle_gt
 
             p, v, a, q = circle_gt(t)
+        else:
+            p, v, a, q, _ = circle_gt_ramp(t)
+        if self.phase != 0.0:
+            p = self._Rz @ p
+            v = self._Rz @ v
+            a = self._Rz @ a
+            q = np_lie.quat_mul(self._qz, q)
+        if self.dynamic_start:
             return p, v, a, q, self.omega
-        return circle_gt_ramp(t)
+        e = np.exp(-max(t, 0.0) / 1.0)
+        return p, v, a, q, self.omega * (1.0 - e)
 
     def gt_pose(self, t):
         p, v, _, q, _ = self._gt(t)

@@ -57,12 +57,13 @@ from d2slam_tpu.vins.types import FrontendFrame, Odometry
 
 
 class WindowFrame:
-    __slots__ = ("frame_id", "stamp", "is_keyframe")
+    __slots__ = ("frame_id", "stamp", "is_keyframe", "drone_id")
 
-    def __init__(self, frame_id, stamp, is_keyframe):
+    def __init__(self, frame_id, stamp, is_keyframe, drone_id=-1):
         self.frame_id = frame_id
         self.stamp = stamp
         self.is_keyframe = is_keyframe
+        self.drone_id = drone_id  # -1 = the estimator's own drone
 
 
 class D2Estimator:
@@ -154,7 +155,7 @@ class D2Estimator:
             self._solve_window()
 
         self._manage_window()
-        w = len(self.frames) - 1
+        w = self._last_self_slot()
         return Odometry(
             stamp=frame.stamp,
             pose=np.asarray(self.state.poses[w]),
@@ -290,8 +291,16 @@ class D2Estimator:
         self._sfm_buffer = None
         return True
 
+    def _last_self_slot(self) -> int:
+        """Slot of the newest own-drone frame (== last slot in the
+        single-robot estimator; the SOLVE_ALL pool interleaves drones)."""
+        for w in range(len(self.frames) - 1, -1, -1):
+            if self.frames[w].drone_id < 0:
+                return w
+        return -1
+
     def _add_frame(self, frame: FrontendFrame) -> None:
-        w_prev = len(self.frames) - 1
+        w_prev = self._last_self_slot()
         prev = self.frames[w_prev]
         assert len(self.frames) < self.layout.W, "window overflow"
         # motion prediction: propagate pose/vel through the interval
@@ -355,12 +364,23 @@ class D2Estimator:
 
         return f
 
+    def _imu_chain(self):
+        """Preintegration intervals as (slot_i, slot_j, imu_buffer)
+        triples — one chain of consecutive frames per drone."""
+        return [
+            (w, w + 1, self.imubuf) for w in range(len(self.frames) - 1)
+        ]
+
     def _build_measurements(self):
         e = self.cfg.estimator
         layout = self.layout
         slots = self._slot_of_frame()
 
         # ---------------- IMU intervals ----------------
+        # chain topology comes from _imu_chain so the SOLVE_ALL pool can
+        # run one preintegration chain per drone through the same
+        # vmapped kernel (reference setupImuFactors includes remote
+        # windows in SOLVE_ALL/SERVER modes, d2estimator.cpp:700-736)
         K = layout.W - 1
         n = layout.N_IMU_SAMPLES
         dts = np.zeros((K, n))
@@ -368,15 +388,18 @@ class D2Estimator:
         gyrs = np.zeros((K, n, 3))
         mask = np.zeros((K, n), bool)
         valid = np.zeros(K, bool)
-        for w in range(len(self.frames) - 1):
-            d, a, g, m = self.imubuf.period(
-                self.frames[w].stamp, self.frames[w + 1].stamp, n
+        fi = np.zeros(K, np.int32)
+        fj = np.zeros(K, np.int32)
+        for k, (si, sj, buf) in enumerate(self._imu_chain()[:K]):
+            d, a, g, m = buf.period(
+                self.frames[si].stamp, self.frames[sj].stamp, n
             )
-            dts[w], accs[w], gyrs[w], mask[w] = d, a, g, m
-            valid[w] = m.any()
+            dts[k], accs[k], gyrs[k], mask[k] = d, a, g, m
+            fi[k], fj[k] = si, sj
+            valid[k] = m.any()
         sb = np.asarray(self.state.sb)
-        ba = jnp.asarray(sb[:K, 3:6], self.dtype)
-        bg = jnp.asarray(sb[:K, 6:9], self.dtype)
+        ba = jnp.asarray(sb[fi, 3:6], self.dtype)
+        bg = jnp.asarray(sb[fi, 6:9], self.dtype)
         pre = self._preintegrate(
             jnp.asarray(dts, self.dtype), jnp.asarray(accs, self.dtype),
             jnp.asarray(gyrs, self.dtype), jnp.asarray(mask), ba, bg, self.noise
@@ -388,8 +411,8 @@ class D2Estimator:
             jnp.asarray(valid)[:, None, None], sqrt_infos, 0.0
         )
         imu = ImuMeas(
-            frame_i=jnp.arange(K, dtype=jnp.int32),
-            frame_j=jnp.arange(1, K + 1, dtype=jnp.int32),
+            frame_i=jnp.asarray(fi),
+            frame_j=jnp.asarray(fj),
             valid=jnp.asarray(valid),
             pre=pre,
             sqrt_info=sqrt_infos,
@@ -488,6 +511,7 @@ class D2Estimator:
         with self.perf.stage("build_measurements"):
             imu, proj = self._build_measurements()
         self._last_meas = (imu, proj)
+        self._meas_stale = False
         e = self.cfg.estimator
         if getattr(self, "_consensus", None) is not None:
             for _ in range(max(e.consensus_max_steps, 1)):
@@ -560,6 +584,12 @@ class D2Estimator:
         frame = self.frames[slot]
         if marginalize_it and self.solve_count > 0:
             remove = jnp.zeros(self.layout.W, bool).at[slot].set(True)
+            if getattr(self, "_meas_stale", False):
+                # slots moved since the cached measurements were built
+                # (multiple drops per cycle in the SOLVE_ALL pool) —
+                # rebuild so the marginalized rows index live slots
+                self._last_meas = self._build_measurements()
+                self._meas_stale = False
             imu, proj = getattr(self, "_last_meas", (None, None))
             if imu is not None:
                 with self.perf.stage("marginalize"):
@@ -618,6 +648,7 @@ class D2Estimator:
             frame_valid=jnp.asarray(new_fv),
         )
         self.fej_poses, self.fej_sb = new_fej_p, new_fej_sb
+        self._meas_stale = True
         if self.prior is not None:
             self.prior = permute_prior_frames(self.layout, self.prior, slot_map)
         if getattr(self, "_consensus", None) is not None:
@@ -635,7 +666,7 @@ class D2Estimator:
     def latest_odometry(self) -> Optional[Odometry]:
         if not self.frames:
             return None
-        w = len(self.frames) - 1
+        w = self._last_self_slot()
         return Odometry(
             stamp=self.frames[w].stamp,
             pose=np.asarray(self.state.poses[w]),
@@ -647,7 +678,7 @@ class D2Estimator:
         inputImu publishing path, d2estimator.cpp:57-72)."""
         if not self.frames:
             return None
-        w = len(self.frames) - 1
+        w = self._last_self_slot()
         f = self.frames[w]
         dts, accs, gyrs, mask = self.imubuf.period(
             f.stamp, t, self.layout.N_IMU_SAMPLES
