@@ -660,6 +660,73 @@ class D2Estimator:
             self._consensus_tilde = new_tilde
 
     # ------------------------------------------------------------------
+    # map merge
+    # ------------------------------------------------------------------
+
+    def move_all_poses(self, T: np.ndarray, drone_id: Optional[int] = None):
+        """Left-compose rigid transform ``T`` [7] onto every window pose
+        (of one drone in the SOLVE_ALL pool, or all frames when
+        ``drone_id`` is None) — the reference-frame shift applied on map
+        merge (reference D2State::moveAllPoses, d2state.hpp:8-125, and
+        PriorFactor::moveByPose, prior_factor.cpp:92+).
+
+        The dense prior moves exactly: rotation tangents are local
+        (right-perturbation) and thus invariant; position/velocity
+        differences are world-frame and rotate with T, so those prior
+        columns are right-multiplied by R_T^T.
+
+        T should be yaw-only (4-DoF) like the reference's map merge —
+        a full 3D rotation would break the gravity alignment baked into
+        the IMU factors.
+        """
+        R = np_lie.quat_to_rotmat(np.asarray(T[3:], np.float64))
+        moved = [
+            w for w, f in enumerate(self.frames)
+            if drone_id is None or f.drone_id == drone_id
+            or (f.drone_id < 0 and drone_id == self.cfg.self_id)
+        ]
+        if not moved:
+            return
+
+        def shift(poses, sb):
+            for w in moved:
+                poses[w] = np_lie.pose_compose(T, poses[w])
+                sb[w, :3] = R @ sb[w, :3]
+
+        poses = np.asarray(self.state.poses, np.float64).copy()
+        sb = np.asarray(self.state.sb, np.float64).copy()
+        shift(poses, sb)
+        self.state = self.state._replace(
+            poses=jnp.asarray(poses, self.dtype),
+            sb=jnp.asarray(sb, self.dtype),
+        )
+        shift(self.fej_poses, self.fej_sb)
+
+        if self.prior is not None:
+            J = np.asarray(self.prior.J).copy()
+            for w in moved:
+                for c in (15 * w, 15 * w + 6):  # position, velocity cols
+                    J[:, c : c + 3] = J[:, c : c + 3] @ R.T
+            lp = np.asarray(self.prior.lin.poses, np.float64).copy()
+            ls = np.asarray(self.prior.lin.sb, np.float64).copy()
+            shift(lp, ls)
+            self.prior = self.prior._replace(
+                J=jnp.asarray(J, self.dtype),
+                lin=self.prior.lin._replace(
+                    poses=jnp.asarray(lp, self.dtype),
+                    sb=jnp.asarray(ls, self.dtype),
+                ),
+            )
+
+        # stored landmark positions anchored in moved frames
+        moved_fids = {self.frames[w].frame_id for w in moved}
+        for lm in self.lmanager.db.values():
+            if lm.obs and lm.anchor.frame_id in moved_fids \
+                    and lm.position is not None:
+                lm.position = np_lie.pose_apply(T, lm.position)
+        self._meas_stale = True
+
+    # ------------------------------------------------------------------
     # outputs
     # ------------------------------------------------------------------
 
