@@ -46,6 +46,8 @@ class EstimatorConfig:
     outlier_reproject_px: float = 10.0     # post-solve rejection gate
     min_triangulate_baseline: float = 0.02
     estimation_mode: str = "single"        # single | distributed | server
+    landmark_param: str = "inv_dep"        # inv_dep | pos3d (reference
+    #                                        landmark_param, d2vins_params.hpp:70-73)
     consensus_max_steps: int = 1
     rho_frame_T: float = 100.0
     rho_frame_theta: float = 100.0

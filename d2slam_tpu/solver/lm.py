@@ -25,6 +25,7 @@ from d2slam_tpu.solver.vio_assembly import (
     build_imu_rows,
     build_prior_rows,
     build_proj_rows,
+    build_proj_rows_pos3d,
 )
 
 
@@ -44,9 +45,14 @@ def _apply_delta(layout: VIOLayout, state: VIOState, dx, dlm) -> VIOState:
     dext = dx[15 * W : 15 * W + 6 * C].reshape(C, 6)
     new_ext = jax.vmap(pose_boxplus)(state.ext, dext)
     new_td = state.td + dx[layout.td_col]
-    new_inv = state.inv_dep + dlm
+    if dlm.ndim == 2:  # pos3d landmarks: [L, 3] world-position update
+        return state._replace(
+            poses=new_poses, sb=new_sb, ext=new_ext, td=new_td,
+            lm_pos=state.lm_pos + dlm,
+        )
     return state._replace(
-        poses=new_poses, sb=new_sb, ext=new_ext, td=new_td, inv_dep=new_inv
+        poses=new_poses, sb=new_sb, ext=new_ext, td=new_td,
+        inv_dep=state.inv_dep + dlm,
     )
 
 
@@ -67,6 +73,7 @@ def lm_solve_vio(
     lambda_scale_up: float = 10.0,
     lambda_scale_down: float = 0.25,
     consensus=None,
+    landmark_param: str = "inv_dep",
 ):
     """Run LM on the sliding window. Returns (new_state, SolveReport).
 
@@ -83,10 +90,13 @@ def lm_solve_vio(
     L = layout.L
     col_free_f = col_free.astype(dtype)
 
+    pos3d = landmark_param == "pos3d"
+    build_proj = build_proj_rows_pos3d if pos3d else build_proj_rows
+
     def build(s: VIOState) -> RowBlock:
         blocks = [
             build_imu_rows(layout, s, imu, gravity),
-            build_proj_rows(layout, s, proj, proj_sqrt_info, dep_sqrt_info, huber_delta),
+            build_proj(layout, s, proj, proj_sqrt_info, dep_sqrt_info, huber_delta),
         ]
         if prior is not None:
             blocks.append(build_prior_rows(layout, s, prior))
@@ -108,21 +118,39 @@ def lm_solve_vio(
         J = rows.J * col_free_f[None, :]
         H = J.T @ J
         g = J.T @ rows.r
-        # landmark (inverse-depth) scalar columns — segment sums as
-        # one-hot matmuls (scatters serialize on TPU; these are GEMMs)
+        eps = jnp.asarray(1e-8, dtype)
+        H_d = H + lam * jnp.diag(jnp.diag(H)) + eps * jnp.eye(D, dtype=dtype)
+        # identity on fixed columns keeps Cholesky PD
+        H_d = H_d + jnp.diag(1.0 - col_free_f)
+        # landmark columns — segment sums as one-hot matmuls (scatters
+        # serialize on TPU; these are GEMMs)
         onehot = (
             rows.lm[:, None] == jnp.arange(L, dtype=jnp.int32)[None, :]
         ).astype(dtype)  # [N, L]
+
+        if pos3d:
+            # 3x3 block Schur over world-position landmarks
+            Jl = rows.Jl  # [N, 3]
+            hll = jnp.einsum("nl,ni,nj->lij", onehot, Jl, Jl)  # [L,3,3]
+            gl = jnp.einsum("nl,ni,n->li", onehot, Jl, rows.r)
+            Hpl = jnp.einsum("nl,ni,nd->lid", onehot, Jl, J)  # [L,3,D]
+            diag = jnp.einsum("lii->li", hll)
+            hll_d = hll + jax.vmap(jnp.diag)(lam * diag + eps)
+            inv3 = jnp.linalg.inv(hll_d)  # [L,3,3]
+            H_red = H_d - jnp.einsum("lid,lij,lje->de", Hpl, inv3, Hpl)
+            g_red = g - jnp.einsum("lid,lij,lj->d", Hpl, inv3, gl)
+            chol = jax.scipy.linalg.cho_factor(H_red)
+            dx = -jax.scipy.linalg.cho_solve(chol, g_red) * col_free_f
+            dlm = -jnp.einsum(
+                "lij,lj->li", inv3, gl + jnp.einsum("lid,d->li", Hpl, dx)
+            )
+            return dx, dlm
+
         hll = (rows.Jl * rows.Jl) @ onehot
         gl = (rows.Jl * rows.r) @ onehot
         Hpl = onehot.T @ (J * rows.Jl[:, None])
 
-        eps = jnp.asarray(1e-8, dtype)
         hll_d = hll * (1.0 + lam) + eps
-        H_d = H + lam * jnp.diag(jnp.diag(H)) + eps * jnp.eye(D, dtype=dtype)
-        # identity on fixed columns keeps Cholesky PD
-        H_d = H_d + jnp.diag(1.0 - col_free_f)
-
         H_red = H_d - (Hpl / hll_d[:, None]).T @ Hpl
         g_red = g - Hpl.T @ (gl / hll_d)
 

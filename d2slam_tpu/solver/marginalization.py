@@ -52,6 +52,7 @@ def marginalize(
     dep_sqrt_info: float = 20.0,
     huber_delta: float = 1.0,
     eig_eps: float = 1e-8,
+    landmark_param: str = "inv_dep",
 ) -> PriorBlock:
     """Marginalize the frames marked in ``remove_frames`` into a new prior.
 
@@ -61,6 +62,7 @@ def marginalize(
     dtype = state.poses.dtype
     D = layout.D_pad
     L = layout.L
+    pos3d = landmark_param == "pos3d"
 
     # --- row selection -----------------------------------------------------
     lm_anchor_removed = jnp.zeros((L,), bool).at[proj.lm].max(
@@ -72,9 +74,11 @@ def marginalize(
     proj_sel = proj._replace(valid=proj.valid & proj_touch)
     imu_sel = imu._replace(valid=imu.valid & imu_touch)
 
+    from d2slam_tpu.solver.vio_assembly import build_proj_rows_pos3d
+
     blocks = [
         build_imu_rows(layout, state, imu_sel, gravity),
-        build_proj_rows(
+        (build_proj_rows_pos3d if pos3d else build_proj_rows)(
             layout, state, proj_sel, proj_sqrt_info, dep_sqrt_info, huber_delta
         ),
     ]
@@ -85,16 +89,35 @@ def marginalize(
     # --- normal equations over [dense D | landmark L] ----------------------
     H = rows.J.T @ rows.J
     g = rows.J.T @ rows.r
-    hll = jnp.zeros((L,), dtype).at[rows.lm].add(rows.Jl * rows.Jl)
-    gl = jnp.zeros((L,), dtype).at[rows.lm].add(rows.Jl * rows.r)
-    Hdl = jnp.zeros((L, D), dtype).at[rows.lm].add(rows.J * rows.Jl[:, None])
 
-    # --- eliminate removed landmarks (diagonal Schur) ----------------------
+    # --- eliminate removed landmarks (block Schur) -------------------------
     # all touched projection rows reference removed-anchor landmarks, so
     # every nonzero landmark column here is a removed one.
-    hll_safe = jnp.where(hll > 0, hll, 1.0)
-    H1 = H - (Hdl / hll_safe[:, None]).T @ Hdl
-    g1 = g - Hdl.T @ (gl / hll_safe)
+    if pos3d:
+        Jl = rows.Jl  # [N, 3]
+        hll3 = jnp.zeros((L, 3, 3), dtype).at[rows.lm].add(
+            Jl[:, :, None] * Jl[:, None, :]
+        )
+        gl3 = jnp.zeros((L, 3), dtype).at[rows.lm].add(Jl * rows.r[:, None])
+        Hdl3 = jnp.zeros((L, 3, D), dtype).at[rows.lm].add(
+            Jl[:, :, None] * rows.J[:, None, :]
+        )
+        used = jnp.einsum("lii->l", hll3) > 0
+        safe = hll3 + (1.0 - used[:, None, None].astype(dtype)) * jnp.eye(
+            3, dtype=dtype
+        ) + jnp.asarray(1e-10, dtype) * jnp.eye(3, dtype=dtype)
+        inv3 = jnp.linalg.inv(safe)
+        H1 = H - jnp.einsum("lid,lij,lje->de", Hdl3, inv3, Hdl3)
+        g1 = g - jnp.einsum("lid,lij,lj->d", Hdl3, inv3, gl3)
+    else:
+        hll = jnp.zeros((L,), dtype).at[rows.lm].add(rows.Jl * rows.Jl)
+        gl = jnp.zeros((L,), dtype).at[rows.lm].add(rows.Jl * rows.r)
+        Hdl = jnp.zeros((L, D), dtype).at[rows.lm].add(
+            rows.J * rows.Jl[:, None]
+        )
+        hll_safe = jnp.where(hll > 0, hll, 1.0)
+        H1 = H - (Hdl / hll_safe[:, None]).T @ Hdl
+        g1 = g - Hdl.T @ (gl / hll_safe)
 
     # --- eliminate removed frame dims (masked dense Schur) -----------------
     col_removed = _frame_col_mask(layout, remove_frames, dtype)

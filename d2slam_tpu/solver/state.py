@@ -27,6 +27,10 @@ class VIOState(NamedTuple):
     inv_dep: jax.Array    # [L] inverse depth per landmark slot
     frame_valid: jax.Array  # [W] bool
     lm_valid: jax.Array     # [L] bool
+    # world-position landmark states, used when landmark_param="pos3d"
+    # (reference landmark_param option, d2vins_params.hpp:70-73:
+    # inverse-depth scalar or 3-dof position)
+    lm_pos: jax.Array = None  # [L, 3]
 
     @staticmethod
     def zeros(layout: VIOLayout, dtype=jnp.float32) -> "VIOState":
@@ -40,6 +44,7 @@ class VIOState(NamedTuple):
             inv_dep=jnp.full((layout.L,), 0.2, dtype),
             frame_valid=jnp.zeros((layout.W,), bool),
             lm_valid=jnp.zeros((layout.L,), bool),
+            lm_pos=jnp.zeros((layout.L, 3), dtype),
         )
 
 

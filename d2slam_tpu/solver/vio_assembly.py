@@ -26,7 +26,8 @@ from d2slam_tpu.solver.state import ImuMeas, PriorBlock, ProjMeas, VIOState
 class RowBlock(NamedTuple):
     """Weighted rows of the linearized system.
 
-    J: [N, D_pad]; r: [N]; Jl: [N] scalar landmark-column entries;
+    J: [N, D_pad]; r: [N]; Jl: landmark-column entries — [N] scalar for
+    inverse-depth landmarks, [N, 3] blocks for pos3d landmarks;
     lm: [N] int32 landmark slot per row (0 where unused);
     lm_used: [N] bool; cost: [N] true robust cost contribution.
     """
@@ -187,6 +188,106 @@ def build_proj_rows(
     )
 
 
+def build_proj_rows_pos3d(
+    layout: VIOLayout,
+    state: VIOState,
+    meas: ProjMeas,
+    proj_sqrt_info: float,
+    dep_sqrt_info: float,
+    huber_delta: float,
+) -> RowBlock:
+    """Projection rows for 3-dof world-position landmarks.
+
+    The reference's ``landmark_param == LM_POS`` parameterization
+    (d2vins/src/d2vins_params.hpp:70-73, factors/reprojection3d.h):
+    each observation is an independent residual of (pose_j, ext_j,
+    lm_pos) — no anchor pairing, so ``meas`` should carry EVERY
+    observation (including the anchor's) with frame_j/cam_j/ray_j set
+    (frame_i/ray_i are ignored). Jl becomes a [N, 3] block eliminated
+    by 3x3 block Schur in the solver.
+    """
+    D = layout.D_pad
+    dtype = state.poses.dtype
+
+    tb = jax.vmap(lambda r: _tangent_base(r))(meas.ray_j)
+
+    def linearize_one(fj, cj, lm, m):
+        pose_j = state.poses[fj]
+        ext_j = state.ext[cj]
+        pw = state.lm_pos[lm]
+        td = state.td
+
+        def f(d_pj, d_ej, d_l, d_td):
+            pose = pose_boxplus(pose_j, d_pj)
+            ext = pose_boxplus(ext_j, d_ej)
+            p = pw + d_l
+            tdv = td + d_td[0]
+            pts_j_td = m["ray_j"] - (tdv - m["td_j"]) * m["vel_j"]
+            pts_imu_j = quat_rotate(
+                quat_conj(quat_normalize(pose[3:])), p - pose[:3]
+            )
+            pts_cam_j = quat_rotate(
+                quat_conj(quat_normalize(ext[3:])), pts_imu_j - ext[:3]
+            )
+            norm_j = jnp.linalg.norm(pts_cam_j)
+            pred = pts_cam_j / jnp.maximum(norm_j, jnp.asarray(1e-12, dtype))
+            obs = pts_j_td / jnp.maximum(
+                jnp.linalg.norm(pts_j_td), jnp.asarray(1e-12, dtype)
+            )
+            r2 = m["tb"] @ (pred - obs)
+            r_dep = norm_j - m["dep_j"]
+            return jnp.concatenate([r2, r_dep[None]])
+
+        z6 = jnp.zeros((6,), dtype)
+        z3 = jnp.zeros((3,), dtype)
+        z1 = jnp.zeros((1,), dtype)
+        r = f(z6, z6, z3, z1)
+        J_pj, J_ej, J_l, J_td = jax.jacfwd(f, argnums=(0, 1, 2, 3))(
+            z6, z6, z3, z1
+        )
+        ext0 = 15 * layout.W
+        row = (
+            place_block(J_pj, 15 * fj, D)
+            + place_block(J_ej, ext0 + 6 * cj, D)
+            + place_block(J_td, jnp.int32(layout.td_col), D)
+        )
+        return r, row, J_l
+
+    m_data = {
+        "ray_j": meas.ray_j, "vel_j": meas.vel_j,
+        "td_j": meas.td_j, "dep_j": meas.dep_j, "tb": tb,
+    }
+    r, rows, Jl = jax.vmap(linearize_one)(
+        meas.frame_j, meas.cam_j, meas.lm, m_data
+    )  # r: [M,3], rows: [M,3,D], Jl: [M,3,3]
+
+    w2 = jnp.asarray(proj_sqrt_info, dtype)
+    w3 = jnp.asarray(dep_sqrt_info, dtype)
+    valid = meas.valid & state.lm_valid[meas.lm] \
+        & state.frame_valid[meas.frame_j]
+
+    sq = jnp.sum((w2 * r[:, :2]) ** 2, axis=-1)
+    hw, rho = _huber_weight(sq, huber_delta)
+    row_w = jnp.stack(
+        [hw * w2, hw * w2, w3 * meas.has_dep.astype(dtype)], axis=-1
+    ) * valid[:, None].astype(dtype)  # [M, 3]
+
+    dep_cost = (w3 * r[:, 2]) ** 2 * meas.has_dep.astype(dtype)
+    cost3 = jnp.stack(
+        [0.5 * rho, jnp.zeros_like(rho), 0.5 * dep_cost], axis=-1
+    ) * valid[:, None].astype(dtype)
+
+    N = layout.M * 3
+    return RowBlock(
+        J=(rows * row_w[:, :, None]).reshape(N, D),
+        r=(r * row_w).reshape(N),
+        Jl=(Jl * row_w[:, :, None]).reshape(N, 3),
+        lm=jnp.repeat(meas.lm, 3),
+        lm_used=jnp.repeat(valid, 3),
+        cost=cost3.reshape(N),
+    )
+
+
 def _tangent_base(ray):
     a = ray / jnp.maximum(jnp.linalg.norm(ray), 1e-12)
     tmp = jnp.where(
@@ -289,7 +390,17 @@ def build_prior_rows(layout: VIOLayout, state: VIOState, prior: PriorBlock) -> R
     )
 
 
+def expand_lm_cols(b: RowBlock) -> RowBlock:
+    """Lift a scalar-landmark block (Jl [N], all zeros for IMU/prior
+    rows) to the pos3d layout (Jl [N, 3]) so blocks concatenate."""
+    if b.Jl.ndim == 2:
+        return b
+    return b._replace(Jl=jnp.zeros(b.Jl.shape + (3,), b.Jl.dtype))
+
+
 def assemble_full_rows(blocks: Tuple[RowBlock, ...]) -> RowBlock:
+    if any(b.Jl.ndim == 2 for b in blocks):
+        blocks = tuple(expand_lm_cols(b) for b in blocks)
     return RowBlock(
         J=jnp.concatenate([b.J for b in blocks], axis=0),
         r=jnp.concatenate([b.r for b in blocks], axis=0),

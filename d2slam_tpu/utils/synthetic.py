@@ -184,6 +184,11 @@ def make_circle_scene(
         inv_dep=jnp.asarray(inv_dep, dtype),
         frame_valid=jnp.asarray(frame_valid),
         lm_valid=jnp.asarray(lm_valid),
+        lm_pos=jnp.asarray(
+            np.pad(lms_w[: layout.L],
+                   ((0, max(layout.L - len(lms_w), 0)), (0, 0))),
+            dtype,
+        ),
     )
     return dict(
         gt_state=gt_state,

@@ -111,6 +111,7 @@ class D2Estimator:
                 dep_sqrt_info=e.depth_sqrt_inf,
                 huber_delta=e.huber_delta,
                 max_iters=e.max_solver_iters,
+                landmark_param=e.landmark_param,
             )
         )
         self._marginalize = jax.jit(
@@ -121,6 +122,7 @@ class D2Estimator:
                 proj_sqrt_info=psi,
                 dep_sqrt_info=e.depth_sqrt_inf,
                 huber_delta=e.huber_delta,
+                landmark_param=e.landmark_param,
             )
         )
         self._preintegrate = jax.jit(
@@ -440,7 +442,9 @@ class D2Estimator:
             "td_i": np.zeros(M), "td_j": np.zeros(M), "dep_j": np.zeros(M),
             "has_dep": np.zeros(M, bool), "valid": np.zeros(M, bool),
         }
+        pos3d = e.landmark_param == "pos3d"
         inv_dep = np.asarray(self.state.inv_dep).copy()
+        lm_pos = np.asarray(self.state.lm_pos).copy()
         lm_valid = np.zeros(layout.L, bool)
         self.lm_slot_of = {}
         m = 0
@@ -449,10 +453,17 @@ class D2Estimator:
                 break
             a = lm.anchor
             fi = slots[a.frame_id]
+            if pos3d and lm.position is None:
+                continue
             self.lm_slot_of[lm.lm_id] = slot
             lm_valid[slot] = True
             inv_dep[slot] = lm.inv_dep
-            for o in lm.obs[1:]:
+            if pos3d:
+                lm_pos[slot] = lm.position
+            # pos3d: every observation (incl. anchor) is an independent
+            # single-frame residual of the world point (reference
+            # reprojection3d.h); inv_dep: observations pair with anchor
+            for o in (lm.obs if pos3d else lm.obs[1:]):
                 if o.frame_id not in slots or m >= M:
                     continue
                 pm["frame_i"][m] = fi
@@ -475,6 +486,7 @@ class D2Estimator:
         })
         self.state = self.state._replace(
             inv_dep=jnp.asarray(inv_dep, self.dtype),
+            lm_pos=jnp.asarray(lm_pos, self.dtype),
             lm_valid=jnp.asarray(lm_valid),
         )
         return imu, proj
@@ -551,15 +563,24 @@ class D2Estimator:
         """Write solved landmark states back to the DB + outlier check
         (reference d2vinsstate.cpp:557-592 syncFromState)."""
         e = self.cfg.estimator
+        pos3d = e.landmark_param == "pos3d"
         inv_dep = np.asarray(self.state.inv_dep)
+        lm_pos = np.asarray(self.state.lm_pos)
         cam_pose = self._cam_pose_of()
         for lid, slot in self.lm_slot_of.items():
             lm = self.lmanager.db.get(lid)
             if lm is None:
                 continue
-            lm.inv_dep = float(inv_dep[slot])
             a = lm.anchor
             T = cam_pose(a.frame_id, a.cam_id)
+            if pos3d:
+                lm.position = lm_pos[slot].astype(np.float64)
+                lm.flag = ESTIMATED
+                if T is not None:
+                    d = np.linalg.norm(lm.position - T[:3])
+                    lm.inv_dep = 1.0 / max(d, 1e-6)
+                continue
+            lm.inv_dep = float(inv_dep[slot])
             if T is not None and lm.inv_dep > 1e-6:
                 from d2slam_tpu.vins.landmark_manager import _rotmat
 

@@ -9,8 +9,9 @@ from d2slam_tpu.utils.sim import CircleSim, default_extrinsics
 from d2slam_tpu.vins.estimator import D2Estimator
 
 
-def run_sequence(n_frames=20, **sim_kw):
+def run_sequence(n_frames=20, landmark_param="inv_dep", **sim_kw):
     cfg = D2Config()
+    cfg.estimator.landmark_param = landmark_param
     cfg.estimator.max_sld_win_size = 8
     cfg.estimator.min_solve_frames = 4
     cfg.estimator.max_lm_slots = 128
