@@ -48,6 +48,8 @@ class EstimatorConfig:
     estimation_mode: str = "single"        # single | distributed | server
     landmark_param: str = "inv_dep"        # inv_dep | pos3d (reference
     #                                        landmark_param, d2vins_params.hpp:70-73)
+    solver_method: str = "lm"              # lm | dogleg (Ceres trust-region strategies)
+    cholesky_refine_steps: int = 0         # iterative refinement (use 1 with float32)
     consensus_max_steps: int = 1
     rho_frame_T: float = 100.0
     rho_frame_theta: float = 100.0

@@ -74,6 +74,9 @@ def lm_solve_vio(
     lambda_scale_down: float = 0.25,
     consensus=None,
     landmark_param: str = "inv_dep",
+    method: str = "lm",
+    refine_steps: int = 0,
+    radius_init: float = 1.0,
 ):
     """Run LM on the sliding window. Returns (new_state, SolveReport).
 
@@ -84,6 +87,16 @@ def lm_solve_vio(
     consensus: optional ``(ref_poses [W,7], tilde [W,6], active [W],
     rho_T, rho_theta)`` — appends per-frame ADMM consensus penalty rows
     (reference ConsenusPoseFactor), re-linearized each iteration.
+
+    method: "lm" (diagonal damping, the reference's Ceres default) or
+    "dogleg" (Powell trust region over the reduced camera system —
+    Ceres DOGLEG strategy equivalent; useful on ill-conditioned
+    windows where LM damping stalls).
+
+    refine_steps: iterative-refinement passes on the Cholesky solve —
+    one pass recovers most of the precision lost to float32 normal
+    equations on ill-conditioned reduced systems (use 1 with
+    dtype=float32 on TPU; 0 is fine in float64).
     """
     dtype = state.poses.dtype
     D = layout.D_pad
@@ -114,7 +127,19 @@ def lm_solve_vio(
     def total_cost(rows: RowBlock):
         return jnp.sum(rows.cost)
 
-    def solve_step(rows: RowBlock, lam):
+    def _chol_solve_neg(H_red, g_red):
+        """dx = -H_red^{-1} g_red with optional iterative refinement
+        (recovers float32 precision on ill-conditioned systems)."""
+        chol = jax.scipy.linalg.cho_factor(H_red)
+        dx = -jax.scipy.linalg.cho_solve(chol, g_red)
+        for _ in range(refine_steps):
+            res = H_red @ dx + g_red
+            dx = dx - jax.scipy.linalg.cho_solve(chol, res)
+        return dx
+
+    def reduce_system(rows: RowBlock, lam):
+        """Schur-eliminate landmarks; returns the reduced camera system
+        (H_red, g_red) and a ``back(dx) -> dlm`` closure."""
         J = rows.J * col_free_f[None, :]
         H = J.T @ J
         g = J.T @ rows.r
@@ -139,12 +164,14 @@ def lm_solve_vio(
             inv3 = jnp.linalg.inv(hll_d)  # [L,3,3]
             H_red = H_d - jnp.einsum("lid,lij,lje->de", Hpl, inv3, Hpl)
             g_red = g - jnp.einsum("lid,lij,lj->d", Hpl, inv3, gl)
-            chol = jax.scipy.linalg.cho_factor(H_red)
-            dx = -jax.scipy.linalg.cho_solve(chol, g_red) * col_free_f
-            dlm = -jnp.einsum(
-                "lij,lj->li", inv3, gl + jnp.einsum("lid,d->li", Hpl, dx)
-            )
-            return dx, dlm
+
+            def back(dx):
+                return -jnp.einsum(
+                    "lij,lj->li", inv3,
+                    gl + jnp.einsum("lid,d->li", Hpl, dx),
+                )
+
+            return H_red, g_red, back
 
         hll = (rows.Jl * rows.Jl) @ onehot
         gl = (rows.Jl * rows.r) @ onehot
@@ -154,10 +181,45 @@ def lm_solve_vio(
         H_red = H_d - (Hpl / hll_d[:, None]).T @ Hpl
         g_red = g - Hpl.T @ (gl / hll_d)
 
-        chol = jax.scipy.linalg.cho_factor(H_red)
-        dx = -jax.scipy.linalg.cho_solve(chol, g_red) * col_free_f
-        dlm = -(gl + Hpl @ dx) / hll_d
-        return dx, dlm
+        def back(dx):
+            return -(gl + Hpl @ dx) / hll_d
+
+        return H_red, g_red, back
+
+    def solve_step(rows: RowBlock, lam):
+        H_red, g_red, back = reduce_system(rows, lam)
+        dx = _chol_solve_neg(H_red, g_red) * col_free_f
+        return dx, back(dx)
+
+    def dogleg_step(rows: RowBlock, radius):
+        """Powell dogleg on the reduced camera system (trust region in
+        the tangent space; Ceres DOGLEG equivalent). Returns the step
+        and its predicted cost reduction."""
+        H_red, g_red, back = reduce_system(rows, jnp.zeros((), dtype))
+        g_m = g_red * col_free_f
+        dx_gn = _chol_solve_neg(H_red, g_red) * col_free_f
+        gHg = g_m @ (H_red @ g_m)
+        alpha = (g_m @ g_m) / jnp.maximum(gHg, jnp.asarray(1e-18, dtype))
+        dx_sd = -alpha * g_m
+        n_gn = jnp.linalg.norm(dx_gn)
+        n_sd = jnp.linalg.norm(dx_sd)
+
+        # blend point on the dogleg path for the trust boundary
+        d = dx_gn - dx_sd
+        a2 = jnp.maximum(d @ d, jnp.asarray(1e-18, dtype))
+        b = dx_sd @ d
+        c = dx_sd @ dx_sd - radius * radius
+        disc = jnp.maximum(b * b - a2 * c, 0.0)
+        tau = (-b + jnp.sqrt(disc)) / a2
+        dx_blend = dx_sd + jnp.clip(tau, 0.0, 1.0) * d
+
+        dx = jnp.where(
+            n_gn <= radius,
+            dx_gn,
+            jnp.where(n_sd >= radius, dx_sd * (radius / jnp.maximum(n_sd, 1e-18)), dx_blend),
+        )
+        pred = -(g_m @ dx) - 0.5 * dx @ (H_red @ dx)
+        return dx, back(dx), pred
 
     rows0 = build(state)
     # row landmark indices/masks come from the (constant) measurement
@@ -174,7 +236,11 @@ def lm_solve_vio(
         # exactly ONE build: the candidate's rows double as the next
         # iteration's linearization when the step is accepted
         s, (J, r, Jl, cost_arr), cost, lam, accepted, change = carry
-        dx, dlm = solve_step(as_block(J, r, Jl, cost_arr), lam)
+        if method == "dogleg":
+            # lam carries the trust radius
+            dx, dlm, pred = dogleg_step(as_block(J, r, Jl, cost_arr), lam)
+        else:
+            dx, dlm = solve_step(as_block(J, r, Jl, cost_arr), lam)
         cand = _apply_delta(layout, s, dx, dlm)
         rc = build(cand)
         cand_cost = total_cost(rc)
@@ -184,9 +250,19 @@ def lm_solve_vio(
         new_rows = (sel(rc.J, J), sel(rc.r, r), sel(rc.Jl, Jl),
                     sel(rc.cost, cost_arr))
         new_cost = jnp.where(accept, cand_cost, cost)
-        new_lam = jnp.where(
-            accept, lam * lambda_scale_down, lam * lambda_scale_up
-        )
+        if method == "dogleg":
+            rho = (cost - cand_cost) / jnp.maximum(
+                pred, jnp.asarray(1e-18, dtype)
+            )
+            step_n = jnp.linalg.norm(dx)
+            grow = (rho > 0.75) & (step_n >= 0.9 * lam)
+            new_lam = jnp.where(
+                grow, lam * 2.0, jnp.where(rho < 0.25, lam * 0.5, lam)
+            )
+        else:
+            new_lam = jnp.where(
+                accept, lam * lambda_scale_down, lam * lambda_scale_up
+            )
         step_norm = jnp.sqrt(jnp.sum(dx * dx) + jnp.sum(dlm * dlm))
         new_change = change + jnp.where(accept, step_norm, 0.0)
         return (
@@ -198,7 +274,9 @@ def lm_solve_vio(
     # device-varying type under shard_map (a plain constant would be
     # "replicated" and trip the scan carry type check on the robot mesh)
     vzero = jnp.sum(state.poses) * 0.0
-    lam0 = jnp.asarray(lambda_init, dtype) + vzero
+    lam0 = jnp.asarray(
+        radius_init if method == "dogleg" else lambda_init, dtype
+    ) + vzero
     (final_state, _, final_cost, _, accepted, change), _ = jax.lax.scan(
         iteration,
         (state, (rows0.J, rows0.r, rows0.Jl, rows0.cost), cost0, lam0,

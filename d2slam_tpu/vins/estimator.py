@@ -112,6 +112,8 @@ class D2Estimator:
                 huber_delta=e.huber_delta,
                 max_iters=e.max_solver_iters,
                 landmark_param=e.landmark_param,
+                method=e.solver_method,
+                refine_steps=e.cholesky_refine_steps,
             )
         )
         self._marginalize = jax.jit(
