@@ -115,3 +115,40 @@ def load_params(path: str) -> Dict:
         out[n] = {"w": jnp.asarray(raw[f"{n}_w"]),
                   "b": jnp.asarray(raw[f"{n}_b"])}
     return out
+
+
+# ---------------------------------------------------------------------------
+# Trained HitNet via the ONNX->JAX bridge
+# ---------------------------------------------------------------------------
+
+# The reference ships trained HitNet weights as ONNX
+# (reference: models/hitnet_series/*, consumed by
+# quadcam_depth_est/src/hitnet.cpp through TensorRT). We execute the
+# same .onnx directly with XLA (tools/onnx_jax.py); validated to <0.1 px
+# median error on synthetic rectified shifts (tests/test_onnx_jax.py).
+REFERENCE_HITNET_F32 = (
+    "/root/reference/models/hitnet_series/hitnet_1x240x320_model_float32.onnx"
+)
+
+
+def load_trained_hitnet(path: str = REFERENCE_HITNET_F32, dtype=jnp.float32):
+    """Load a trained HitNet ONNX export. Returns (apply, params) where
+    apply(params, left, right) maps rectified [H, W] pairs in [0, 1]
+    (the reference feeds gray/255: quadcam_depth_est_trt.cpp:319-329)
+    to disparity [H, W]. Input resolution must match the export
+    (240x320 for the reference models); jit- and vmap-compatible.
+    """
+    from d2slam_tpu.tools.onnx_jax import load_onnx_module
+
+    module = load_onnx_module(path, dtype=dtype)
+    _, c, h, w = module.input_shapes[0]
+    if c != 2:
+        raise ValueError(f"expected 2-channel (left,right) input, got {c}")
+
+    def apply(params, left, right):
+        x = jnp.stack([left, right])[None].astype(dtype)  # [1, 2, H, W]
+        y = module.apply(params, x)
+        return y.reshape(y.shape[-3:-1] if y.shape[-1] == 1 else y.shape[-2:])
+
+    apply.input_hw = (h, w)
+    return apply, module.params

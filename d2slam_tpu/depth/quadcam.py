@@ -89,17 +89,29 @@ def quadcam_depth(
     images: List[jax.Array],          # 4 fisheye images [Hf, Wf]
     pairs: List[VirtualStereoPair],
     cfg: QuadcamConfig = QuadcamConfig(),
+    hitnet=None,                      # optional (apply, params) from
+                                      # depth.hitnet.load_trained_hitnet
 ):
     """Run all 4 virtual stereo pairs. Returns a list of
-    (points [H, W, 3] in the virtual-left camera frame, valid [H, W])."""
+    (points [H, W, 3] in the virtual-left camera frame, valid [H, W]).
+
+    With `hitnet`, disparity comes from the trained HitNet network (the
+    reference's primary path, quadcam_depth_est_trt.cpp inferrenceThread);
+    otherwise from the classical block matcher (the reference's SGBM
+    fallback estimateDisparityOCV)."""
     H, W = cfg.out_hw
     out = []
     for p in pairs:
         left = remap_bilinear(images[p.cam_left], p.map_left)
         right = remap_bilinear(images[p.cam_right], p.map_right)
-        disp, valid = disparity(
-            left, right, max_disp=cfg.max_disp, block=cfg.block
-        )
+        if hitnet is not None:
+            apply, params = hitnet
+            disp = apply(params, left, right)
+            valid = disp > 0.5
+        else:
+            disp, valid = disparity(
+                left, right, max_disp=cfg.max_disp, block=cfg.block
+            )
         pts, ok = points_from_disparity(
             disp, valid, fx=p.focal, baseline=p.baseline,
             cx=W / 2.0, cy=H / 2.0, min_z=cfg.min_z, max_z=cfg.max_z,
