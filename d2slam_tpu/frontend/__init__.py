@@ -3,11 +3,13 @@ from d2slam_tpu.frontend.superpoint import (
     superpoint_init,
     superpoint_apply,
     superpoint_extract,
+    superpoint_from_onnx,
 )
 from d2slam_tpu.frontend.netvlad import (
     NetVLADConfig,
     netvlad_init,
     netvlad_apply,
+    netvlad_from_onnx,
 )
 from d2slam_tpu.frontend.matching import (
     match_descriptors,

@@ -118,6 +118,47 @@ def netvlad_apply(params: Dict, img: jax.Array,
     return v
 
 
+def netvlad_from_onnx(path: str, pca=None, dtype=jnp.float32):
+    """Load a MobileNetVLAD ONNX export; returns (apply_fn, params) with
+    the `netvlad_apply` contract (img [B, H, W, 1] -> [B, D] L2-normed).
+
+    The reference feeds NHWC [1, H, W, 1] into tensor "image:0" and
+    reads "descriptor:0" [1, 4096]
+    (d2frontend/include/d2frontend/CNN/mobilenetvlad_onnx.h:20-32),
+    optionally projecting to 1024-d with PCA + renormalization
+    (mobilenetvlad_onnx.h:49-74). Pass pca=(mean [D], proj [D, d]) to
+    reproduce that.
+    """
+    from d2slam_tpu.tools.onnx_jax import load_onnx_module
+
+    module = load_onnx_module(path, dtype=dtype)
+    rank = len(module.input_shapes[0])
+
+    params = dict(module.params)
+    if pca is not None:
+        params["__pca_mean"] = jnp.asarray(pca[0], dtype)
+        params["__pca_proj"] = jnp.asarray(pca[1], dtype)
+
+    def one(params, x):  # x: [H, W, 1]
+        inp = x[None] if rank == 4 else x[None, ..., 0]
+        v = module.apply(params, inp)
+        if isinstance(v, tuple):
+            v = v[0]
+        return v.reshape(-1)
+
+    def apply_fn(params, img, cfg=None):
+        v = jax.vmap(one, in_axes=(None, 0))(params, img)
+        v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+        if "__pca_mean" in params:
+            v = (v - params["__pca_mean"]) @ params["__pca_proj"]
+            v = v / jnp.maximum(
+                jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12
+            )
+        return v
+
+    return apply_fn, params
+
+
 def quantize_descriptor_int8(v):
     """int8 wire quantization: scale by max/127 (reference
     d2frontend_types.h:228-238 toLCM descriptor packing)."""

@@ -170,14 +170,19 @@ class SuperPointOutput(NamedTuple):
 
 
 def superpoint_extract(
-    params: Dict, img: jax.Array, cfg: SuperPointConfig
+    params: Dict, img: jax.Array, cfg: SuperPointConfig,
+    apply_fn=None,
 ) -> SuperPointOutput:
     """Full extraction for ONE image [H, W] (jit/vmap over batches).
 
-    Fixed output size cfg.max_keypoints with validity mask.
+    Fixed output size cfg.max_keypoints with validity mask. `apply_fn`
+    overrides the backbone (e.g. an ONNX-loaded one from
+    `superpoint_from_onnx`); it must match `superpoint_apply`'s
+    signature and contract.
     """
     H, W = img.shape
-    raw_scores, desc_coarse = superpoint_apply(params, img[None, :, :, None])
+    apply_fn = apply_fn or superpoint_apply
+    raw_scores, desc_coarse = apply_fn(params, img[None, :, :, None])
     raw = raw_scores[0]
     scores_map = simple_nms(raw_scores, cfg.nms_radius)[0]  # [H, W]
     flat = scores_map.reshape(-1)
@@ -247,3 +252,42 @@ def convert_torch_state_dict(state: Dict) -> Dict:
         out[name] = {"w": jnp.asarray(w.transpose(2, 3, 1, 0)),
                      "b": jnp.asarray(b)}
     return out
+
+
+def superpoint_from_onnx(path: str, dtype=jnp.float32):
+    """Load a SuperPoint ONNX export and return (apply_fn, params)
+    plugging into `superpoint_extract(..., apply_fn=...)`.
+
+    Supports both export styles the reference consumes
+    (d2frontend/src/CNN/superpoint_onnx.cpp:59 — outputs "semi", "desc"):
+      - semi [1, H, W]: pixel-level heatmap already decoded in-graph;
+      - semi [1, 65, Hc, Wc]: raw cell logits -> softmax + drop dustbin
+        + depth-to-space here.
+    desc [1, 256, Hc, Wc] is transposed to NHWC and L2-normalized
+    (final per-keypoint renormalization happens in sample_descriptors,
+    matching superpoint_common.cpp:42-99).
+    """
+    from d2slam_tpu.tools.onnx_jax import load_onnx_module
+
+    module = load_onnx_module(path, dtype=dtype)
+
+    def one(params, x_chw):  # [1, H, W] single image, NCHW batch of 1
+        semi, desc = module.apply(params, x_chw[None])
+        if semi.ndim == 4 and semi.shape[1] == 65:  # raw cell logits
+            dense = jax.nn.softmax(semi, axis=1)[:, :64]
+            B, _, Hc, Wc = dense.shape
+            s = dense.reshape(B, 8, 8, Hc, Wc)
+            s = s.transpose(0, 3, 1, 4, 2).reshape(B, Hc * 8, Wc * 8)
+            scores = s[0]
+        else:
+            scores = semi.reshape(semi.shape[-2:])
+        d = desc[0].transpose(1, 2, 0)  # [Hc, Wc, D]
+        d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+        return scores, d
+
+    def apply_fn(params, img):  # img: [B, H, W, 1] in [0, 1]
+        x = img[..., 0][:, None]  # [B, 1, H, W]
+        scores, desc = jax.vmap(one, in_axes=(None, 0))(params, x)
+        return scores, desc
+
+    return apply_fn, module.params

@@ -314,6 +314,121 @@ def _decode_graph(buf: bytes) -> OnnxGraph:
                      outputs=outputs, name=gname)
 
 
+# ---------------------------------------------------------------------------
+# encoding (subset) — lets tests round-trip graphs and tools export models
+# ---------------------------------------------------------------------------
+
+_NP_TO_ONNX = {np.dtype(v): k for k, v in _DTYPES.items()}
+
+
+def _enc_varint(v: int) -> bytes:
+    out = bytearray()
+    v &= (1 << 64) - 1
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _enc_field(field: int, wire: int, payload) -> bytes:
+    tag = _enc_varint((field << 3) | wire)
+    if wire == 0:
+        return tag + _enc_varint(payload)
+    if wire == 2:
+        return tag + _enc_varint(len(payload)) + payload
+    if wire == 5:
+        return tag + struct.pack("<I", payload)
+    raise ValueError(wire)
+
+
+def _enc_tensor(name: str, arr: np.ndarray) -> bytes:
+    out = b""
+    for d in arr.shape:
+        out += _enc_field(1, 0, d)
+    out += _enc_field(2, 0, _NP_TO_ONNX[arr.dtype])
+    out += _enc_field(8, 2, name.encode())
+    out += _enc_field(9, 2, np.ascontiguousarray(arr).tobytes())
+    return out
+
+
+def _enc_attr(a: OnnxAttr) -> bytes:
+    out = _enc_field(1, 2, a.name.encode())
+    if a.f is not None:
+        out += _enc_field(2, 5, struct.unpack("<I", struct.pack("<f", a.f))[0])
+        out += _enc_field(20, 0, 1)  # type FLOAT
+    elif a.i is not None:
+        out += _enc_field(3, 0, a.i)
+        out += _enc_field(20, 0, 2)  # INT
+    elif a.s is not None:
+        out += _enc_field(4, 2, a.s)
+        out += _enc_field(20, 0, 3)  # STRING
+    elif a.t is not None:
+        out += _enc_field(5, 2, _enc_tensor("", np.asarray(a.t)))
+        out += _enc_field(20, 0, 4)  # TENSOR
+    elif a.floats:
+        for f in a.floats:
+            out += _enc_field(7, 5, struct.unpack("<I", struct.pack("<f", f))[0])
+        out += _enc_field(20, 0, 6)
+    elif a.ints:
+        for i in a.ints:
+            out += _enc_field(8, 0, i)
+        out += _enc_field(20, 0, 7)
+    elif a.strings:
+        for s in a.strings:
+            out += _enc_field(9, 2, s)
+        out += _enc_field(20, 0, 8)
+    return out
+
+
+def _enc_node(n: OnnxNode) -> bytes:
+    out = b""
+    for i in n.inputs:
+        out += _enc_field(1, 2, i.encode())
+    for o in n.outputs:
+        out += _enc_field(2, 2, o.encode())
+    if n.name:
+        out += _enc_field(3, 2, n.name.encode())
+    out += _enc_field(4, 2, n.op_type.encode())
+    for a in n.attrs.values():
+        out += _enc_field(5, 2, _enc_attr(a))
+    return out
+
+
+def _enc_value_info(name: str, shape, elem_type=1) -> bytes:
+    dims = b""
+    for d in shape:
+        dims += _enc_field(1, 2, _enc_field(1, 0, int(d)))
+    shp = _enc_field(2, 2, dims)
+    tensor_type = _enc_field(1, 0, elem_type) + shp
+    tp = _enc_field(1, 2, tensor_type)
+    return _enc_field(1, 2, name.encode()) + _enc_field(2, 2, tp)
+
+
+def save_onnx(graph: OnnxGraph, path: str) -> None:
+    """Serialize an OnnxGraph to a .onnx file (raw_data tensors)."""
+    g = b""
+    for n in graph.nodes:
+        g += _enc_field(1, 2, _enc_node(n))
+    if graph.name:
+        g += _enc_field(2, 2, graph.name.encode())
+    for name, arr in graph.initializers.items():
+        g += _enc_field(5, 2, _enc_tensor(name, np.asarray(arr)))
+    for name, shape in graph.inputs:
+        g += _enc_field(11, 2, _enc_value_info(name, shape))
+    for name in graph.outputs:
+        g += _enc_field(12, 2, _enc_value_info(name, ()))
+    model = _enc_field(1, 0, 8)  # ir_version
+    model += _enc_field(7, 2, g)
+    # opset_import { version = 13 }
+    model += _enc_field(8, 2, _enc_field(2, 0, 13))
+    with open(path, "wb") as f:
+        f.write(model)
+
+
 def load_onnx(path: str) -> OnnxGraph:
     """Load an ONNX model file and return its (flat) graph."""
     with open(path, "rb") as f:

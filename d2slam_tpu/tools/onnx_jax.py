@@ -715,8 +715,9 @@ class OnnxModule:
         return jax.jit(self.apply)
 
 
-def load_onnx_module(path: str, dtype=jnp.float32) -> OnnxModule:
-    g = load_onnx(path)
+def load_onnx_module(path, dtype=jnp.float32) -> OnnxModule:
+    """Load an OnnxModule from a .onnx path (or an OnnxGraph directly)."""
+    g = path if isinstance(path, OnnxGraph) else load_onnx(path)
     runner = OnnxRunner(g, dtype=dtype)
     return OnnxModule(
         runner=runner,

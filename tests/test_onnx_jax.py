@@ -164,3 +164,136 @@ def test_trained_hitnet_recovers_disparity():
     inner = disp[20:-20, 40:-40]
     assert abs(np.median(inner) - d) < 0.5
     assert np.mean(np.abs(inner - d) < 1.0) > 0.9
+
+
+# ---------------------------------------------------------------------------
+# round-trip encoder + frontend ONNX adapters (synthetic mini-models)
+# ---------------------------------------------------------------------------
+
+
+def _save_load(graph, tmp_path, name):
+    from d2slam_tpu.tools.onnx_io import load_onnx, save_onnx
+
+    p = str(tmp_path / name)
+    save_onnx(graph, p)
+    return load_onnx(p)
+
+
+def test_encoder_roundtrip(tmp_path):
+    rng = np.random.RandomState(1)
+    w = rng.randn(4, 1, 3, 3).astype(np.float32)
+    g = OnnxGraph(
+        nodes=[OnnxNode("Conv", ["x", "w"], ["y"], attrs={
+            "pads": _attr("pads", ints=(1, 1, 1, 1)),
+            "alpha_demo": _attr("alpha_demo", f=0.5),
+        })],
+        initializers={"w": w, "shape_c": np.array([1, 4], np.int64)},
+        inputs=[("x", (1, 1, 8, 8))], outputs=["y"],
+    )
+    g2 = _save_load(g, tmp_path, "rt.onnx")
+    assert g2.nodes[0].op_type == "Conv"
+    assert _run_attrs_equal(g, g2)
+    np.testing.assert_array_equal(g2.initializers["w"], w)
+    np.testing.assert_array_equal(g2.initializers["shape_c"], [1, 4])
+    assert g2.inputs == [("x", (1, 1, 8, 8))]
+    assert g2.outputs == ["y"]
+
+
+def _run_attrs_equal(g, g2):
+    a, b = g.nodes[0].attrs, g2.nodes[0].attrs
+    return a["pads"].ints == b["pads"].ints and a["alpha_demo"].f == b["alpha_demo"].f
+
+
+def _mini_superpoint_graph(style, H=64, W=64):
+    """Tiny SuperPoint-shaped export: conv stem stride-8, then semi+desc
+    heads, in either of the two export styles the adapter supports."""
+    rng = np.random.RandomState(2)
+    c = 8
+    init = {
+        "w1": rng.randn(c, 1, 3, 3).astype(np.float32) * 0.5,
+        "b1": rng.randn(c).astype(np.float32) * 0.1,
+        "wd": rng.randn(32, c, 1, 1).astype(np.float32) * 0.5,
+    }
+    nodes = [
+        OnnxNode("Conv", ["x", "w1", "b1"], ["f"], attrs={
+            "pads": _attr("pads", ints=(1, 1, 1, 1)),
+            "strides": _attr("strides", ints=(8, 8)),
+        }),
+        OnnxNode("Relu", ["f"], ["fr"]),
+        OnnxNode("Conv", ["fr", "wd"], ["desc"]),
+    ]
+    if style == "heatmap":
+        init["ws"] = rng.randn(64, c, 1, 1).astype(np.float32) * 0.5
+        nodes += [
+            OnnxNode("Conv", ["fr", "ws"], ["cell"]),
+            # in-graph depth-to-space decode -> [1, H, W] heatmap
+            OnnxNode("Reshape", ["cell", "shp1"], ["r1"]),
+            OnnxNode("Transpose", ["r1"], ["t1"],
+                     attrs={"perm": _attr("perm", ints=(0, 3, 1, 4, 2))}),
+            OnnxNode("Reshape", ["t1", "shp2"], ["semi"]),
+            OnnxNode("Sigmoid", ["semi"], ["semi_out"]),
+        ]
+        init["shp1"] = np.array([1, 8, 8, H // 8, W // 8], np.int64)
+        init["shp2"] = np.array([1, H, W], np.int64)
+        outputs = ["semi_out", "desc"]
+    else:  # raw 65-channel logits
+        init["ws"] = rng.randn(65, c, 1, 1).astype(np.float32) * 0.5
+        nodes += [OnnxNode("Conv", ["fr", "ws"], ["semi"])]
+        outputs = ["semi", "desc"]
+    return OnnxGraph(nodes=nodes, initializers=init,
+                     inputs=[("x", (1, 1, H, W))], outputs=outputs)
+
+
+@pytest.mark.parametrize("style", ["heatmap", "logits"])
+def test_superpoint_from_onnx(tmp_path, style):
+    from d2slam_tpu.frontend.superpoint import (
+        SuperPointConfig, superpoint_extract, superpoint_from_onnx,
+    )
+    from d2slam_tpu.tools.onnx_io import save_onnx
+
+    g = _mini_superpoint_graph(style)
+    p = str(tmp_path / f"sp_{style}.onnx")
+    save_onnx(g, p)
+    apply_fn, params = superpoint_from_onnx(p)
+    img = jnp.asarray(np.random.RandomState(3).rand(64, 64), jnp.float32)
+    scores, desc = apply_fn(params, img[None, :, :, None])
+    assert scores.shape == (1, 64, 64)
+    assert desc.shape == (1, 8, 8, 32)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(desc[0]), axis=-1), 1.0, atol=1e-4)
+    cfg = SuperPointConfig(max_keypoints=16, threshold=-1.0)
+    out = superpoint_extract(params, img, cfg, apply_fn=apply_fn)
+    assert out.kpts.shape == (16, 2) and out.desc.shape[0] == 16
+    assert bool(out.valid.any())
+
+
+def test_netvlad_from_onnx(tmp_path):
+    from d2slam_tpu.frontend.netvlad import netvlad_from_onnx
+    from d2slam_tpu.tools.onnx_io import save_onnx
+
+    rng = np.random.RandomState(4)
+    H = W = 32
+    # global-average pooled conv features -> flat descriptor, NHWC input
+    g = OnnxGraph(
+        nodes=[
+            OnnxNode("Transpose", ["image:0"], ["xc"],
+                     attrs={"perm": _attr("perm", ints=(0, 3, 1, 2))}),
+            OnnxNode("Conv", ["xc", "w"], ["f"], attrs={
+                "pads": _attr("pads", ints=(1, 1, 1, 1))}),
+            OnnxNode("Relu", ["f"], ["fr"]),
+            OnnxNode("GlobalAveragePool", ["fr"], ["gap"]),
+            OnnxNode("Flatten", ["gap"], ["descriptor:0"]),
+        ],
+        initializers={"w": rng.randn(16, 1, 3, 3).astype(np.float32)},
+        inputs=[("image:0", (1, H, W, 1))], outputs=["descriptor:0"],
+    )
+    p = str(tmp_path / "nv.onnx")
+    save_onnx(g, p)
+    # with PCA projection to 4 dims (reference mobilenetvlad_onnx.h:49-74)
+    pca = (np.zeros(16, np.float32), rng.randn(16, 4).astype(np.float32))
+    apply_fn, params = netvlad_from_onnx(p, pca=pca)
+    img = jnp.asarray(rng.rand(2, H, W, 1), jnp.float32)
+    v = apply_fn(params, img)
+    assert v.shape == (2, 4)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(v), axis=-1), 1.0, atol=1e-5)
