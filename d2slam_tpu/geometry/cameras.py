@@ -362,3 +362,83 @@ def mei_lift(uv, params: MEIParams, iters: int = 20):
     factor = (xi + jnp.sqrt(disc)) / (1.0 + rho2)
     ray = jnp.stack([factor * mx, factor * my, factor - xi], axis=-1)
     return ray / jnp.linalg.norm(ray, axis=-1, keepdims=True)
+
+
+class PolyFisheyeParams(NamedTuple):
+    """Forward polynomial fisheye (reference camodocal
+    PolyFisheyeCamera: r(theta) = theta + k2 theta^2 + ... + k7 theta^7,
+    pixel = [A11 A12; 0 A22] r(theta)[cos phi, sin phi] + [u0, v0],
+    camera_models/src/camera_models/PolyFisheyeCamera.cc:93-137)."""
+
+    k2: jax.Array
+    k3: jax.Array
+    k4: jax.Array
+    k5: jax.Array
+    k6: jax.Array
+    k7: jax.Array
+    p1: jax.Array     # tangential (kept for parity; reference rarely uses)
+    p2: jax.Array
+    A11: jax.Array
+    A12: jax.Array
+    A22: jax.Array
+    u0: jax.Array
+    v0: jax.Array
+
+    @staticmethod
+    def make(A11, A22, u0, v0, k2=0.0, k3=0.0, k4=0.0, k5=0.0, k6=0.0,
+             k7=0.0, p1=0.0, p2=0.0, A12=0.0, dtype=jnp.float32):
+        return PolyFisheyeParams(*[jnp.asarray(v, dtype) for v in
+                                   (k2, k3, k4, k5, k6, k7, p1, p2,
+                                    A11, A12, A22, u0, v0)])
+
+
+def _polyfish_r(theta, p: PolyFisheyeParams):
+    """r(theta) with coeff0=0, coeff1=1 (PolyFisheyeCamera.cc:24-25)."""
+    return theta * (1.0 + theta * (p.k2 + theta * (p.k3 + theta * (
+        p.k4 + theta * (p.k5 + theta * (p.k6 + theta * p.k7))))))
+
+
+def _polyfish_dr(theta, p: PolyFisheyeParams):
+    return (1.0 + theta * (2 * p.k2 + theta * (3 * p.k3 + theta * (
+        4 * p.k4 + theta * (5 * p.k5 + theta * (6 * p.k6
+        + theta * 7 * p.k7))))))
+
+
+def polyfisheye_project(pts3, params: PolyFisheyeParams):
+    """spaceToPlane: theta = acos(z/|P|), phi = atan2(y, x)."""
+    x, y, z = pts3[..., 0], pts3[..., 1], pts3[..., 2]
+    n = jnp.sqrt(x * x + y * y + z * z)
+    theta = jnp.arccos(jnp.clip(z / jnp.maximum(n, 1e-12), -1.0, 1.0))
+    phi = jnp.arctan2(y, x)
+    r = _polyfish_r(theta, params)
+    xd = r * jnp.cos(phi)
+    yd = r * jnp.sin(phi)
+    u = params.A11 * xd + params.A12 * yd + params.u0
+    v = params.A22 * yd + params.v0
+    valid = theta < jnp.pi / 2 * 1.1
+    return jnp.stack([u, v], axis=-1), valid
+
+
+def polyfisheye_lift(uv, params: PolyFisheyeParams, iters: int = 12):
+    """liftProjective: invert the affine then Newton-solve
+    r(theta) = r_meas (the reference uses a backward poly / lookup
+    table, FastCalcTABLE; a fixed-iteration Newton is the XLA-friendly
+    equivalent)."""
+    vd = (uv[..., 1] - params.v0) / params.A22
+    xd = (uv[..., 0] - params.u0 - params.A12 * vd) / params.A11
+    r_meas = jnp.sqrt(xd * xd + vd * vd)
+    phi = jnp.arctan2(vd, xd)
+
+    def body(_, theta):
+        f = _polyfish_r(theta, params) - r_meas
+        df = _polyfish_dr(theta, params)
+        return jnp.clip(
+            theta - f / jnp.where(jnp.abs(df) < 1e-9, 1e-9, df),
+            0.0, jnp.pi,
+        )
+
+    theta = jax.lax.fori_loop(0, iters, body, jnp.clip(r_meas, 0.0, jnp.pi))
+    st = jnp.sin(theta)
+    ray = jnp.stack([st * jnp.cos(phi), st * jnp.sin(phi),
+                     jnp.cos(theta)], axis=-1)
+    return ray

@@ -120,3 +120,23 @@ def test_scaramuzza_roundtrip():
     gt = pts / jnp.linalg.norm(pts, axis=-1, keepdims=True)
     err = np.linalg.norm(np.asarray(rays - gt), axis=-1)[np.asarray(valid)]
     assert np.median(err) < 1e-6, np.median(err)
+
+
+def test_polyfisheye_roundtrip():
+    from d2slam_tpu.geometry.cameras import (
+        PolyFisheyeParams, polyfisheye_lift, polyfisheye_project,
+    )
+
+    p = PolyFisheyeParams.make(
+        A11=320.0, A22=318.0, u0=320.0, v0=240.0,
+        k2=-0.02, k3=0.004, k4=-0.0008, A12=0.5,
+    )
+    rng = np.random.RandomState(0)
+    rays = rng.randn(200, 3)
+    rays[:, 2] = np.abs(rays[:, 2]) + 0.5  # in front, within ~60 deg
+    rays /= np.linalg.norm(rays, axis=1, keepdims=True)
+    rays = jnp.asarray(rays, jnp.float64)
+    uv, valid = polyfisheye_project(rays, p)
+    back = polyfisheye_lift(uv, p)
+    err = np.linalg.norm(np.asarray(back - rays), axis=1)
+    assert np.all(err[np.asarray(valid)] < 1e-8)
