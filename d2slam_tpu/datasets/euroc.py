@@ -128,19 +128,46 @@ class EuRoCDataset:
         img = np.asarray(Image.open(path).convert("L"), np.float32) / 255.0
         return img
 
-    def play(self, frame_stride: int = 1) -> Iterator[tuple]:
+    def play(self, frame_stride: int = 1,
+             prefetch: bool = False, prefetch_threads: int = 2,
+             ) -> Iterator[tuple]:
         """Yield ('imu', t, acc, gyr) and ('frame', t, [images]) events
         in time order (acc/gyro in EuRoC convention: gyro then acc in
-        the csv; we emit acc first)."""
+        the csv; we emit acc first).
+
+        prefetch=True decodes PNGs ahead of time with the native C++
+        loader (runtime.ImagePrefetcher) — the reference's threaded
+        image ingestion (d2frontend.cpp raw-image callbacks feeding the
+        processing thread)."""
         imu_idx = 0
         n_imu = len(self.imu)
-        for k, (t, paths) in enumerate(self.frames):
+        kept = [(t, paths) for k, (t, paths) in enumerate(self.frames)
+                if k % frame_stride == 0]
+        if prefetch:
+            from d2slam_tpu.runtime import ImagePrefetcher
+
+            flat = [p for _, paths in kept for p in paths]
+            fetch = iter(ImagePrefetcher(flat, n_threads=prefetch_threads))
+
+            def images_for(paths):
+                out = []
+                for p in paths:
+                    a = next(fetch)
+                    if a is None:  # decoder error: fall back per image
+                        out.append(self.load_image(p))
+                    else:
+                        out.append(np.asarray(a, np.float32) / 255.0)
+                return out
+        else:
+            def images_for(paths):
+                return [self.load_image(p) for p in paths]
+
+        for (t, paths) in kept:
             while imu_idx < n_imu and self.imu[imu_idx, 0] <= t:
                 row = self.imu[imu_idx]
                 yield ("imu", row[0], row[4:7], row[1:4])
                 imu_idx += 1
-            if k % frame_stride == 0:
-                yield ("frame", t, [self.load_image(p) for p in paths])
+            yield ("frame", t, images_for(paths))
         while imu_idx < n_imu:
             row = self.imu[imu_idx]
             yield ("imu", row[0], row[4:7], row[1:4])
