@@ -34,6 +34,11 @@ class SuperPointConfig:
     threshold: float = 0.015
     pca_dim: int = 0  # 0 = no PCA; reference uses 64 (superpoint_pca_dims)
     desc_dim: int = 256
+    # conv compute dtype: "bfloat16" matches the reference's fp16
+    # TensorRT engines (superpoint_tensorrt.cpp builder flags) and is
+    # ~3x faster on the MXU; scores/descriptors are cast back to f32
+    # before NMS/normalization. "float32" for exact repeatability.
+    compute_dtype: str = "float32"
 
 
 _ENCODER = [
@@ -81,10 +86,17 @@ def _conv(x, p, stride=1):
     return y + p["b"]
 
 
-def superpoint_apply(params: Dict, img: jax.Array):
+def superpoint_apply(params: Dict, img: jax.Array, compute_dtype=None):
     """img: [B, H, W, 1] in [0,1]. Returns (scores [B,H,W],
-    desc_coarse [B,H/8,W/8,D])."""
+    desc_coarse [B,H/8,W/8,D]). compute_dtype (e.g. jnp.bfloat16) runs
+    the conv stack at reduced precision (the fp16-TensorRT equivalent);
+    outputs are float32 either way."""
     x = img
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        params = jax.tree_util.tree_map(
+            lambda p: p.astype(compute_dtype), params
+        )
     relu = jax.nn.relu
     x = relu(_conv(x, params["conv1a"]))
     x = relu(_conv(x, params["conv1b"]))
@@ -99,7 +111,7 @@ def superpoint_apply(params: Dict, img: jax.Array):
     x = relu(_conv(x, params["conv4b"]))
 
     cPa = relu(_conv(x, params["convPa"]))
-    semi = _conv(cPa, params["convPb"])  # [B, Hc, Wc, 65]
+    semi = _conv(cPa, params["convPb"]).astype(jnp.float32)  # [B,Hc,Wc,65]
     dense = jax.nn.softmax(semi, axis=-1)[..., :64]  # drop dustbin
     B, Hc, Wc, _ = dense.shape
     # depth-to-space: cell scores -> full-resolution heatmap
@@ -107,7 +119,7 @@ def superpoint_apply(params: Dict, img: jax.Array):
     scores = scores.transpose(0, 1, 3, 2, 4).reshape(B, Hc * 8, Wc * 8)
 
     cDa = relu(_conv(x, params["convDa"]))
-    desc = _conv(cDa, params["convDb"])  # [B, Hc, Wc, D]
+    desc = _conv(cDa, params["convDb"]).astype(jnp.float32)  # [B,Hc,Wc,D]
     desc = desc / jnp.maximum(
         jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-12
     )
@@ -181,7 +193,9 @@ def superpoint_extract(
     signature and contract.
     """
     H, W = img.shape
-    apply_fn = apply_fn or superpoint_apply
+    if apply_fn is None:
+        cdt = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None)
+        apply_fn = lambda p, im: superpoint_apply(p, im, compute_dtype=cdt)
     raw_scores, desc_coarse = apply_fn(params, img[None, :, :, None])
     raw = raw_scores[0]
     scores_map = simple_nms(raw_scores, cfg.nms_radius)[0]  # [H, W]
