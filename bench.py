@@ -16,6 +16,9 @@ import jax.numpy as jnp
 
 
 def main():
+    from d2slam_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()  # TRT-engine-cache equivalent: warm reruns
     from __graft_entry__ import entry
 
     step, (state, imu, proj) = entry()

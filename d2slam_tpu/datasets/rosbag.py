@@ -381,11 +381,23 @@ class RosbagWriter:
         )
         return cid
 
+    @staticmethod
+    def _split_time(stamp: float) -> Tuple[int, int]:
+        if stamp < 0:
+            raise ValueError(
+                f"ROS time is unsigned; got stamp {stamp} (offset your "
+                "timeline to start >= 0)")
+        secs = int(stamp)
+        nsecs = int(round((stamp - secs) * 1e9))
+        if nsecs >= 1_000_000_000:
+            secs += 1
+            nsecs -= 1_000_000_000
+        return secs, nsecs
+
     def write_raw(self, topic: str, msgtype: str, stamp: float,
                   payload: bytes):
         cid = self._connection(topic, msgtype)
-        secs = int(stamp)
-        nsecs = int(round((stamp - secs) * 1e9))
+        secs, nsecs = self._split_time(stamp)
         self._write_record(
             {b"op": bytes([OP_MSG]),
              b"conn": struct.pack("<I", cid),
@@ -395,8 +407,7 @@ class RosbagWriter:
 
     @staticmethod
     def _ser_header(stamp: float, frame_id: str = "") -> bytes:
-        secs = int(stamp)
-        nsecs = int(round((stamp - secs) * 1e9))
+        secs, nsecs = RosbagWriter._split_time(stamp)
         fid = frame_id.encode()
         return struct.pack("<III", 0, secs, nsecs) + struct.pack(
             "<I", len(fid)) + fid

@@ -8,6 +8,9 @@ Usage:
       [--cpu] [--frames N] [--stride K] [--fx F --fy F --cx C --cy C]
       [--baseline B] [--sp-weights superpoint.npz] [--out traj.csv]
 
+<dataset_root> may also be a ROS1 .bag file (the reference's native
+dataset format) — topics via --imu-topic/--cam-topics.
+
 Notes: with --sp-weights pointing at converted SuperPoint weights the
 pipeline runs the real detector; without weights the random-init network
 produces repeatable but 3D-inconsistent keypoints (see BASELINE.md) —
@@ -31,6 +34,9 @@ def main():
     ap.add_argument("--baseline", type=float, default=0.1)
     ap.add_argument("--sp-weights", default="")
     ap.add_argument("--out", default="")
+    ap.add_argument("--imu-topic", default="/imu0")
+    ap.add_argument("--cam-topics", nargs="+",
+                    default=["/cam0/image_raw", "/cam1/image_raw"])
     args = ap.parse_args()
 
     if args.cpu:
@@ -54,19 +60,36 @@ def main():
     from d2slam_tpu.utils.sim import default_extrinsics
     from d2slam_tpu.vins.estimator import D2Estimator
 
-    ds = EuRoCDataset(args.root)
-    print(f"dataset: {len(ds.frames)} frames, {len(ds.imu)} IMU samples, "
-          f"gt={'yes' if ds.ground_truth is not None else 'no'}")
-    if not ds.frames:
-        print("no frames found")
-        return 1
+    is_bag = args.root.endswith(".bag")
+    if is_bag:
+        from d2slam_tpu.datasets.rosbag import RosbagReader
+
+        ds = None
+        bag = RosbagReader(args.root)
+        print(f"bag topics: {bag.topics}")
+        first = next(
+            (m for _, _, m in bag.read_messages([args.cam_topics[0]])), None)
+        if first is None or first.get("image") is None:
+            print("no decodable images on", args.cam_topics[0])
+            return 1
+        img0 = np.asarray(first["image"], np.float32)
+        n_total = "?"
+        gt_avail = False
+    else:
+        ds = EuRoCDataset(args.root)
+        print(f"dataset: {len(ds.frames)} frames, {len(ds.imu)} IMU "
+              f"samples, gt={'yes' if ds.ground_truth is not None else 'no'}")
+        if not ds.frames:
+            print("no frames found")
+            return 1
+        img0 = ds.load_image(ds.frames[0][1][0])
+        gt_avail = ds.ground_truth is not None
 
     # intrinsics: CLI > sensor.yaml > guess from image size
-    img0 = ds.load_image(ds.frames[0][1][0])
-    H, W = img0.shape
+    H, W = img0.shape[:2]
     fx = args.fx
     if not fx:
-        calib = ds.calib.get("cam0") or {}
+        calib = (ds.calib.get("cam0") or {}) if ds is not None else {}
         intr = (calib.get("intrinsics") or [])
         if len(intr) >= 4:
             fx, fy, cx, cy = intr[:4]
@@ -94,9 +117,14 @@ def main():
         print("WARNING: random-init SuperPoint (smoke run; pass "
               "--sp-weights for real accuracy)")
     cams = [PinholeParams.make(fx, fy, cx, cy, dtype=jnp.float32)] * 2
-    frame_dt = (
-        (ds.frames[-1][0] - ds.frames[0][0]) / max(len(ds.frames) - 1, 1)
-    )
+    if ds is not None:
+        frame_dt = (
+            (ds.frames[-1][0] - ds.frames[0][0]) / max(len(ds.frames) - 1, 1)
+        )
+        events = ds.play(frame_stride=args.stride)
+    else:
+        frame_dt = 0.05
+        events = bag.play_vio(args.imu_topic, args.cam_topics)
     tracker = FeatureTracker(
         sp_params, sp_cfg, cams, TrackerConfig(),
         frame_rate=1.0 / max(frame_dt * args.stride, 1e-3),
@@ -105,11 +133,13 @@ def main():
     stamps, poses = [], []
     n_done = 0
     frame_id = 0
-    for ev in ds.play(frame_stride=args.stride):
+    for ev in events:
         if ev[0] == "imu":
             est.input_imu(ev[1], ev[2], ev[3])
             continue
         _, t, imgs = ev
+        imgs = [np.asarray(im, np.float32) / 255.0
+                if np.asarray(im).dtype == np.uint8 else im for im in imgs]
         ff = tracker.process_stereo(
             t, frame_id, imgs[0], imgs[1] if len(imgs) > 1 else imgs[0]
         )
@@ -130,7 +160,7 @@ def main():
     if args.out and stamps:
         write_trajectory_csv(args.out, stamps, poses)
         print(f"trajectory -> {args.out}")
-    if ds.ground_truth is not None and len(stamps) > 3:
+    if gt_avail and len(stamps) > 3:
         rmse, _ = ate_rmse(
             stamps, np.asarray(poses),
             ds.ground_truth[:, 0], ds.ground_truth[:, 1:8],
