@@ -134,7 +134,7 @@ def build_proj_rows(
         z6 = jnp.zeros((6,), dtype)
         z1 = jnp.zeros((1,), dtype)
         r = f(z6, z6, z6, z6, z1, z1)
-        J_pi, J_pj, J_ei, J_ej, J_l, J_td = jax.jacfwd(
+        J_pi, J_pj, J_ei, J_ej, J_l, J_td = jax.jacrev(
             f, argnums=(0, 1, 2, 3, 4, 5)
         )(z6, z6, z6, z6, z1, z1)
 
@@ -242,7 +242,7 @@ def build_proj_rows_pos3d(
         z3 = jnp.zeros((3,), dtype)
         z1 = jnp.zeros((1,), dtype)
         r = f(z6, z6, z3, z1)
-        J_pj, J_ej, J_l, J_td = jax.jacfwd(f, argnums=(0, 1, 2, 3))(
+        J_pj, J_ej, J_l, J_td = jax.jacrev(f, argnums=(0, 1, 2, 3))(
             z6, z6, z3, z1
         )
         ext0 = 15 * layout.W
@@ -326,7 +326,7 @@ def build_imu_rows(
         z6 = jnp.zeros((6,), dtype)
         z9 = jnp.zeros((9,), dtype)
         r = f(z6, z9, z6, z9)
-        J_pi, J_si, J_pj, J_sj = jax.jacfwd(f, argnums=(0, 1, 2, 3))(z6, z9, z6, z9)
+        J_pi, J_si, J_pj, J_sj = jax.jacrev(f, argnums=(0, 1, 2, 3))(z6, z9, z6, z9)
 
         r_w = sqrt_info @ r
         Ji = sqrt_info @ jnp.concatenate([J_pi, J_si], axis=1)  # [15, 15]
