@@ -41,9 +41,16 @@ def build_undistort_map(
     return uv, f
 
 
-def remap_bilinear(img: jax.Array, map_xy: jax.Array) -> jax.Array:
+def remap_bilinear(img: jax.Array, map_xy: jax.Array,
+                   photometric: jax.Array | None = None) -> jax.Array:
     """Sample ``img`` [H, W] at ``map_xy`` [Ho, Wo, 2]; out-of-range
-    positions produce 0."""
+    positions produce 0. ``photometric`` is an optional [H, W] gain map
+    (vignette correction from tools.calibrate_vignette) applied to the
+    source image before sampling — the reference FisheyeUndist's
+    photometric-correction path (fisheye_undistort.h photometric inverse
+    vignette multiply)."""
+    if photometric is not None:
+        img = img * photometric
     H, W = img.shape
     x, y = map_xy[..., 0], map_xy[..., 1]
     inb = (x >= 0) & (x <= W - 1.001) & (y >= 0) & (y <= H - 1.001)

@@ -91,6 +91,7 @@ def quadcam_depth(
     cfg: QuadcamConfig = QuadcamConfig(),
     hitnet=None,                      # optional (apply, params) from
                                       # depth.hitnet.load_trained_hitnet
+    photometric: Optional[List[jax.Array]] = None,
 ):
     """Run all 4 virtual stereo pairs. Returns a list of
     (points [H, W, 3] in the virtual-left camera frame, valid [H, W]).
@@ -98,12 +99,17 @@ def quadcam_depth(
     With `hitnet`, disparity comes from the trained HitNet network (the
     reference's primary path, quadcam_depth_est_trt.cpp inferrenceThread);
     otherwise from the classical block matcher (the reference's SGBM
-    fallback estimateDisparityOCV)."""
+    fallback estimateDisparityOCV). `photometric` is an optional list of
+    per-camera [Hf, Wf] vignette-correction gain maps
+    (tools.calibrate_vignette), applied before remapping as the
+    reference's photometric_calib images are."""
     H, W = cfg.out_hw
     out = []
     for p in pairs:
-        left = remap_bilinear(images[p.cam_left], p.map_left)
-        right = remap_bilinear(images[p.cam_right], p.map_right)
+        ph_l = photometric[p.cam_left] if photometric else None
+        ph_r = photometric[p.cam_right] if photometric else None
+        left = remap_bilinear(images[p.cam_left], p.map_left, ph_l)
+        right = remap_bilinear(images[p.cam_right], p.map_right, ph_r)
         if hitnet is not None:
             apply, params = hitnet
             disp = apply(params, left, right)

@@ -87,3 +87,22 @@ def test_hitnet_shapes():
     assert d.shape == (1, 64, 96)
     assert bool(jnp.isfinite(d).all())
     assert float(d.min()) >= 0.0
+
+
+def test_remap_photometric_correction():
+    """Vignette gain map applied before remapping (reference
+    FisheyeUndist photometric path)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from d2slam_tpu.depth.fisheye_undist import remap_bilinear
+
+    img = jnp.ones((16, 16), jnp.float32) * 0.5
+    # identity map
+    ys, xs = jnp.meshgrid(jnp.arange(16.0), jnp.arange(16.0), indexing="ij")
+    m = jnp.stack([xs, ys], -1)
+    gain = jnp.full((16, 16), 2.0, jnp.float32)
+    out = remap_bilinear(img, m, photometric=gain)
+    np.testing.assert_allclose(np.asarray(out[:15, :15]), 1.0, atol=1e-6)
+    out_plain = remap_bilinear(img, m)
+    np.testing.assert_allclose(np.asarray(out_plain[:15, :15]), 0.5, atol=1e-6)
