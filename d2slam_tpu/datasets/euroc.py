@@ -153,7 +153,10 @@ class EuRoCDataset:
                 out = []
                 for p in paths:
                     a = next(fetch)
-                    if a is None:  # decoder error: fall back per image
+                    if (a is None or a.ndim != 2
+                            or a.dtype != np.uint8):
+                        # decoder error / 16-bit / RGB: use the PIL path
+                        # so prefetch=True matches load_image exactly
                         out.append(self.load_image(p))
                     else:
                         out.append(np.asarray(a, np.float32) / 255.0)

@@ -164,10 +164,13 @@ def _decode_compressed_image(buf: bytes) -> Dict:
     data = c.bytes_(n)
     img = None
     if data[:8] == b"\x89PNG\r\n\x1a\n":
-        from d2slam_tpu.runtime import decode_png
+        try:
+            from d2slam_tpu.runtime import decode_png
 
-        img = decode_png(data)
-    else:
+            img = decode_png(data)
+        except Exception:
+            img = None  # palette/interlaced/etc: fall through to PIL
+    if img is None:
         try:
             import io
 
@@ -232,11 +235,19 @@ class RosbagReader:
         self._scan_connections()
 
     def _scan_connections(self):
+        # rosbag repeats connection records at the top level (after the
+        # chunks, before the index), so a cheap top-level pass usually
+        # suffices; decompressing every chunk just to harvest
+        # connections would decompress multi-GB bags during __init__.
+        chunks = []
         for header, data in _iter_records(self._buf, len(_MAGIC)):
             op = header.get(b"op", b"\x00")[0]
             if op == OP_CONNECTION:
                 self._add_connection(header, data)
             elif op == OP_CHUNK:
+                chunks.append((header, data))
+        if not self.connections:  # writer without top-level records
+            for header, data in chunks:
                 blob = self._decompress(header, data)
                 for h2, d2 in _iter_records(blob):
                     if h2.get(b"op", b"\x00")[0] == OP_CONNECTION:

@@ -106,8 +106,8 @@ def quadcam_depth(
     H, W = cfg.out_hw
     out = []
     for p in pairs:
-        ph_l = photometric[p.cam_left] if photometric else None
-        ph_r = photometric[p.cam_right] if photometric else None
+        ph_l = photometric[p.cam_left] if photometric is not None else None
+        ph_r = photometric[p.cam_right] if photometric is not None else None
         left = remap_bilinear(images[p.cam_left], p.map_left, ph_l)
         right = remap_bilinear(images[p.cam_right], p.map_right, ph_r)
         if hitnet is not None:

@@ -242,16 +242,32 @@ class FramePipeline:
         self.stats = {s[0]: StageStats() for s in stages}
         self._threads: List[threading.Thread] = []
         self._out_lock = threading.Lock()
+        # items popped from queue i whose result has been forwarded (or
+        # dropped); queue i's "popped" stat minus this = exactly the
+        # in-flight count, with no pop-to-flag race (the C++ pop
+        # increments "popped" atomically with removing the item)
+        self._done = [0] * len(stages)
 
     def submit(self, item) -> int:
         """Ingress push (returns 1 if an old frame was dropped)."""
         return self.queues[0].push_obj(item)
 
+    def _in_flight(self, i: int) -> int:
+        return self.queues[i].stats["popped"] - self._done[i]
+
+    def _upstream_done(self, i: int) -> bool:
+        """No work can still reach stage i's queue."""
+        return all(
+            len(self.queues[k]) == 0 and self._in_flight(k) == 0
+            for k in range(i)
+        )
+
     def _worker(self, i: int):
         while True:
             item = self.queues[i].pop_obj(timeout_ms=200)
             if item is None:
-                if len(self.queues[i]) == 0 and self._closing:
+                if (self._closing and len(self.queues[i]) == 0
+                        and self._upstream_done(i)):
                     return
                 continue
             t0 = time.perf_counter()
@@ -261,13 +277,13 @@ class FramePipeline:
                 res = None
                 self._errors.append((self.names[i], repr(e)))
             self.stats[self.names[i]].add(time.perf_counter() - t0)
-            if res is None:
-                continue
-            if i + 1 < len(self.queues):
-                self.queues[i + 1].push_obj(res, block_ms=1000)
-            else:
-                with self._out_lock:
-                    self.out.append(res)
+            if res is not None:
+                if i + 1 < len(self.queues):
+                    self.queues[i + 1].push_obj(res, block_ms=1000)
+                else:
+                    with self._out_lock:
+                        self.out.append(res)
+            self._done[i] += 1
 
     def start(self):
         self._closing = False
@@ -279,16 +295,20 @@ class FramePipeline:
         return self
 
     def drain(self, timeout_s: float = 30.0):
-        """Wait until all queued work is processed, then stop workers."""
+        """Wait until all queued AND in-flight work is processed, then
+        stop workers. In-flight = a stage fn currently executing (its
+        result hasn't been forwarded yet), tracked per stage so a slow
+        stage (e.g. a first-call JAX compile) can't lose its output."""
         deadline = time.time() + timeout_s
         while time.time() < deadline:
-            if all(len(q) == 0 for q in self.queues):
+            if (all(len(q) == 0 for q in self.queues)
+                    and all(self._in_flight(i) == 0
+                            for i in range(len(self.fns)))):
                 break
             time.sleep(0.01)
-        time.sleep(0.05)  # let in-flight items finish
         self._closing = True
         for t in self._threads:
-            t.join(timeout=2.0)
+            t.join(timeout=timeout_s)
         self._threads.clear()
         return self.out
 

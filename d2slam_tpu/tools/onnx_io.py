@@ -174,11 +174,12 @@ def _decode_tensor(buf: bytes) -> Tuple[str, np.ndarray]:
                 )
             else:
                 float_data.append(struct.unpack("<f", struct.pack("<I", val))[0])
-        elif field == 5:  # int32_data
+        elif field == 5:  # int32_data (also holds int8/16, uint8/16,
+            # bool, and float16 bit patterns per the ONNX spec)
             if wire == 2:
-                int32_data.extend(_varints(val))
+                int32_data.extend(_zigzag64(v) for v in _varints(val))
             else:
-                int32_data.append(val)
+                int32_data.append(_zigzag64(val))
         elif field == 7:  # int64_data
             if wire == 2:
                 int64_data.extend(_zigzag64(v) for v in _varints(val))
@@ -203,7 +204,11 @@ def _decode_tensor(buf: bytes) -> Tuple[str, np.ndarray]:
     elif int64_data:
         arr = np.asarray(int64_data, dtype=np.int64).astype(dtype)
     elif int32_data:
-        arr = np.asarray(int32_data, dtype=np.int32).astype(dtype)
+        if dtype == np.float16:  # stored as raw bit patterns
+            arr = np.asarray(int32_data, np.int64).astype(
+                np.uint16).view(np.float16)
+        else:
+            arr = np.asarray(int32_data, dtype=np.int64).astype(dtype)
     elif double_data:
         arr = np.asarray(double_data, dtype=np.float64).astype(dtype)
     else:

@@ -74,13 +74,6 @@ def _np_dtype(onnx_code: int):
     return _DTYPES[onnx_code]
 
 
-def _broadcast_binop(fn):
-    def op(env, node, *xs):
-        return fn(*xs)
-
-    return op
-
-
 class OnnxRunner:
     """Lowers an OnnxGraph to a jittable function of (params, *inputs)."""
 
@@ -496,8 +489,12 @@ class OnnxRunner:
             x = get(0)
             k = int(np.asarray(static(1)).reshape(-1)[0])
             largest = bool(node.attr("largest", 1))
-            vals, idx = jax.lax.top_k(x if largest else -x, k)
-            put(vals if largest else -vals, idx.astype(jnp.int64))
+            axis = int(node.attr("axis", -1)) % x.ndim
+            xm = jnp.moveaxis(x, axis, -1)
+            vals, idx = jax.lax.top_k(xm if largest else -xm, k)
+            vals = jnp.moveaxis(vals if largest else -vals, -1, axis)
+            idx = jnp.moveaxis(idx.astype(jnp.int64), -1, axis)
+            put(vals, idx)
         else:
             raise NotImplementedError(f"ONNX op {op} (node {node.name})")
 
@@ -512,9 +509,6 @@ class OnnxRunner:
         k_sp = w.shape[2:]
         if not transpose:
             pads = _conv_pads(node, nsp, x.shape[2:], k_sp, strides, dilations)
-            dn = jax.lax.conv_dimension_numbers(
-                x.shape, w.shape, ("NCHW", "OIHW", "NCHW")[: 3] if nsp == 2 else None
-            ) if nsp == 2 else None
             y = jax.lax.conv_general_dilated(
                 x, w, strides, pads, lhs_dilation=None,
                 rhs_dilation=dilations, feature_group_count=group,
@@ -626,6 +620,12 @@ class OnnxRunner:
         x = self._get(env, params, node.inputs[0])
         mode = node.attr("mode", b"nearest")
         mode = mode.decode() if isinstance(mode, bytes) else mode
+        ctm = node.attr("coordinate_transformation_mode", b"half_pixel")
+        ctm = ctm.decode() if isinstance(ctm, bytes) else ctm
+        nmode = node.attr("nearest_mode", b"round_prefer_floor")
+        nmode = nmode.decode() if isinstance(nmode, bytes) else nmode
+        if node.op_type == "Upsample":
+            ctm = "asymmetric"  # opset-9 Upsample semantics
         out_shape = None
         if node.op_type == "Upsample" or (len(node.inputs) >= 3 and node.inputs[2]):
             sc_name = node.inputs[1 if node.op_type == "Upsample" else 2]
@@ -636,9 +636,15 @@ class OnnxRunner:
                 )
         if out_shape is None and len(node.inputs) >= 4 and node.inputs[3]:
             out_shape = tuple(int(d) for d in self._static(env, node.inputs[3]))
-        method = {"nearest": "nearest", "linear": "bilinear",
-                  "cubic": "bicubic"}[mode]
-        return jax.image.resize(x, out_shape, method)
+        if mode == "cubic":
+            if ctm != "half_pixel":
+                raise NotImplementedError(f"cubic Resize with {ctm}")
+            return jax.image.resize(x, out_shape, "bicubic")
+        y = x
+        for axis, (n_in, n_out) in enumerate(zip(x.shape, out_shape)):
+            if n_in != n_out:
+                y = _resize_axis(y, axis, n_out, mode, ctm, nmode)
+        return y
 
     @staticmethod
     def _gather_nd(data, indices, batch_dims: int):
@@ -656,6 +662,47 @@ class OnnxRunner:
 
         out = jax.vmap(one)(d2, i2)
         return out.reshape(bshape + out.shape[1:])
+
+
+def _resize_axis(x, axis: int, n_out: int, mode: str, ctm: str,
+                 nearest_mode: str):
+    """Resample one axis with explicit ONNX coordinate semantics
+    (jax.image.resize only implements half_pixel)."""
+    n_in = x.shape[axis]
+    out_idx = np.arange(n_out, dtype=np.float64)
+    scale = n_out / n_in
+    if ctm in ("half_pixel", "pytorch_half_pixel"):
+        src = (out_idx + 0.5) / scale - 0.5
+        if ctm == "pytorch_half_pixel" and n_out <= 1:
+            src = np.zeros_like(out_idx)
+    elif ctm == "asymmetric":
+        src = out_idx / scale
+    elif ctm == "align_corners":
+        src = out_idx * ((n_in - 1) / max(n_out - 1, 1))
+    else:
+        raise NotImplementedError(f"Resize coordinate mode {ctm}")
+    if mode == "nearest":
+        if nearest_mode == "floor":
+            idx = np.floor(src)
+        elif nearest_mode == "ceil":
+            idx = np.ceil(src)
+        elif nearest_mode == "round_prefer_ceil":
+            idx = np.floor(src + 0.5)
+        else:  # round_prefer_floor
+            idx = np.ceil(src - 0.5)
+        idx = np.clip(idx, 0, n_in - 1).astype(np.int32)
+        return jnp.take(x, jnp.asarray(idx), axis=axis)
+    # linear: gather the two neighbors and blend (static weights)
+    src = np.clip(src, 0.0, n_in - 1)
+    i0 = np.clip(np.floor(src), 0, n_in - 1).astype(np.int32)
+    i1 = np.clip(i0 + 1, 0, n_in - 1)
+    w = jnp.asarray((src - i0), x.dtype)
+    shape = [1] * x.ndim
+    shape[axis] = n_out
+    w = w.reshape(shape)
+    x0 = jnp.take(x, jnp.asarray(i0), axis=axis)
+    x1 = jnp.take(x, jnp.asarray(i1), axis=axis)
+    return x0 * (1 - w) + x1 * w
 
 
 def _conv_dn(nsp: int):

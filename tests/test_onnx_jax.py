@@ -297,3 +297,87 @@ def test_netvlad_from_onnx(tmp_path):
     assert v.shape == (2, 4)
     np.testing.assert_allclose(
         np.linalg.norm(np.asarray(v), axis=-1), 1.0, atol=1e-5)
+
+
+def test_topk_respects_axis():
+    x = np.arange(12, dtype=np.float32).reshape(3, 4)
+    g = OnnxGraph(
+        nodes=[OnnxNode("TopK", ["x", "k"], ["v", "i"],
+                        attrs={"axis": _attr("axis", i=0)})],
+        initializers={"k": np.array([2], np.int64)},
+        inputs=[("x", x.shape)], outputs=["v", "i"],
+    )
+    r = OnnxRunner(g)
+    v, i = r(r.params, jnp.asarray(x))
+    assert v.shape == (2, 4) and i.shape == (2, 4)
+    np.testing.assert_array_equal(np.asarray(i[0]), [2, 2, 2, 2])
+    np.testing.assert_array_equal(np.asarray(v[0]), x[2])
+
+
+def test_resize_asymmetric_nearest_and_linear():
+    x = np.arange(4, dtype=np.float32).reshape(1, 1, 1, 4)
+
+    def resize_graph(ctm, mode, nearest_mode=b"floor"):
+        return OnnxGraph(
+            nodes=[OnnxNode("Resize", ["x", "", "s"], ["y"], attrs={
+                "mode": _attr("mode", s=mode),
+                "coordinate_transformation_mode": _attr(
+                    "coordinate_transformation_mode", s=ctm),
+                "nearest_mode": _attr("nearest_mode", s=nearest_mode),
+            })],
+            initializers={"s": np.array([1, 1, 1, 2], np.float64)},
+            inputs=[("x", x.shape)], outputs=["y"],
+        )
+
+    # asymmetric + floor nearest: out[i] = in[floor(i/2)] (tf2onnx style)
+    y = _run(resize_graph(b"asymmetric", b"nearest"), jnp.asarray(x))
+    np.testing.assert_array_equal(y[0, 0, 0], [0, 0, 1, 1, 2, 2, 3, 3])
+    # align_corners linear: endpoints preserved exactly
+    y = _run(resize_graph(b"align_corners", b"linear"), jnp.asarray(x))
+    assert y[0, 0, 0, 0] == 0.0 and abs(y[0, 0, 0, -1] - 3.0) < 1e-6
+    np.testing.assert_allclose(np.asarray(y[0, 0, 0]),
+                               np.linspace(0, 3, 8), atol=1e-6)
+    # half_pixel linear matches jax.image.resize
+    import jax
+
+    y = _run(resize_graph(b"half_pixel", b"linear"), jnp.asarray(x))
+    ref = jax.image.resize(x, (1, 1, 1, 8), "bilinear")
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=1e-6)
+
+
+def test_int32_data_negative_and_fp16(tmp_path):
+    """Typed (non-raw) tensor fields: negative int32 varints and fp16
+    bit patterns in int32_data."""
+    import struct
+
+    from d2slam_tpu.tools.onnx_io import _decode_tensor
+
+    def field(num, wire, payload):
+        tag = (num << 3) | wire
+        out = bytes([tag])
+        if wire == 0:
+            v = payload & ((1 << 64) - 1)
+            b = b""
+            while True:
+                byte = v & 0x7F
+                v >>= 7
+                if v:
+                    b += bytes([byte | 0x80])
+                else:
+                    b += bytes([byte])
+                    break
+            return out + b
+        return out + bytes([len(payload)]) + payload
+
+    # int32 tensor [-5, 7]
+    buf = field(1, 0, 2)            # dims: 2
+    buf = field(2, 0, 6) + buf[0:0] + buf  # data_type=6 (int32) + dims
+    buf += field(5, 0, -5) + field(5, 0, 7)  # int32_data varints
+    name, arr = _decode_tensor(buf)
+    np.testing.assert_array_equal(arr, [-5, 7])
+    assert arr.dtype == np.int32
+
+    # fp16 tensor: bit pattern of 1.5 is 0x3E00
+    buf = field(1, 0, 1) + field(2, 0, 10) + field(5, 0, 0x3E00)
+    _, arr = _decode_tensor(buf)
+    assert arr.dtype == np.float16 and float(arr.reshape(-1)[0]) == 1.5

@@ -105,13 +105,33 @@ def test_pipeline_stages_and_drops():
         pipe.submit(i)
         time.sleep(0.002)
     out = pipe.drain()
-    # slow stage forced drops at the bounded ingress queues
+    # slow stage forced drops at the bounded ingress queues; with
+    # in-flight-aware drain the accounting is exact: every submitted
+    # item is either dropped at a queue or delivered
     assert sum(pipe.dropped.values()) > 0
-    assert len(out) + sum(pipe.dropped.values()) >= 20 - 4
+    assert len(out) + sum(pipe.dropped.values()) == 20
     # everything that made it through is correctly transformed, in order
     assert all(o % 10 == 0 for o in out)
     assert out == sorted(out)
     assert pipe.stats["solve"].mean_ms >= 25.0
+
+
+def test_pipeline_drain_waits_for_slow_inflight_stage():
+    """drain() must not lose the result of a stage fn still executing
+    (e.g. a first-call JAX compile) when all queues look empty."""
+    def very_slow(x):
+        time.sleep(0.5)
+        return x + 100
+
+    pipe = FramePipeline([
+        ("fast", lambda x: x, 2, True),
+        ("compileish", very_slow, 2, True),
+    ]).start()
+    pipe.submit(1)
+    time.sleep(0.1)  # item is now in-flight inside very_slow
+    out = pipe.drain(timeout_s=5.0)
+    assert out == [101]
+    assert sum(pipe.dropped.values()) == 0
 
 
 def test_euroc_play_with_native_prefetch(tmp_path):
