@@ -131,8 +131,14 @@ def build_proj_rows(
                 m,
             )
 
-        z6 = jnp.zeros((6,), dtype)
-        z1 = jnp.zeros((1,), dtype)
+        # Derive the linearization point from the state so it shares the
+        # state's device-varying type under shard_map: reverse-mode
+        # cotangents of a *replicated* seed are psum-ed over the mesh
+        # (the mathematically correct adjoint of a shared variable, but
+        # here every robot linearizes its own copy).
+        vz = pose_i[0] * 0
+        z6 = jnp.zeros((6,), dtype) + vz
+        z1 = jnp.zeros((1,), dtype) + vz
         r = f(z6, z6, z6, z6, z1, z1)
         J_pi, J_pj, J_ei, J_ej, J_l, J_td = jax.jacrev(
             f, argnums=(0, 1, 2, 3, 4, 5)
@@ -238,9 +244,11 @@ def build_proj_rows_pos3d(
             r_dep = norm_j - m["dep_j"]
             return jnp.concatenate([r2, r_dep[None]])
 
-        z6 = jnp.zeros((6,), dtype)
-        z3 = jnp.zeros((3,), dtype)
-        z1 = jnp.zeros((1,), dtype)
+        # varying-zero seed: see build_proj_rows on jacrev-under-shard_map
+        vz = pose_j[0] * 0
+        z6 = jnp.zeros((6,), dtype) + vz
+        z3 = jnp.zeros((3,), dtype) + vz
+        z1 = jnp.zeros((1,), dtype) + vz
         r = f(z6, z6, z3, z1)
         J_pj, J_ej, J_l, J_td = jax.jacrev(f, argnums=(0, 1, 2, 3))(
             z6, z6, z3, z1
@@ -323,8 +331,10 @@ def build_imu_rows(
                 pre, gravity,
             )
 
-        z6 = jnp.zeros((6,), dtype)
-        z9 = jnp.zeros((9,), dtype)
+        # varying-zero seed: see build_proj_rows on jacrev-under-shard_map
+        vz = pose_i[0] * 0
+        z6 = jnp.zeros((6,), dtype) + vz
+        z9 = jnp.zeros((9,), dtype) + vz
         r = f(z6, z9, z6, z9)
         J_pi, J_si, J_pj, J_sj = jax.jacrev(f, argnums=(0, 1, 2, 3))(z6, z9, z6, z9)
 

@@ -135,3 +135,52 @@ def test_admm_rounds_reach_agreement():
     d0 = np.asarray(jax.vmap(pose_boxminus)(jnp.asarray(poses[0]), gt.poses))
     d0 = d0[np.asarray(gt.frame_valid)]
     assert np.abs(d0).max() < 5e-2, f"gt err {np.abs(d0).max()}"
+
+
+def test_linearization_matches_eager_inside_shard_map():
+    """Per-robot Jacobians built inside shard_map must equal the eager
+    single-robot build.
+
+    Regression test: with jax's varying-manifest-axes checking, a
+    jacrev seed created as a fresh (replicated) constant makes the
+    reverse-mode cotangent psum over the robot mesh — every robot's J
+    silently becomes the SUM of all robots' Jacobians. vio_assembly
+    derives its linearization points from the (device-varying) state to
+    keep the adjoint per-robot; this pins that behavior.
+    """
+    from d2slam_tpu.solver.vio_assembly import build_imu_rows, build_proj_rows
+
+    mesh = robot_mesh(R)
+    scene = make_circle_scene(LAYOUT, n_frames=6, n_landmarks=40, seed=4)
+    gt = scene["gt_state"]
+    proj, imu, g = scene["proj"], scene["imu"], scene["gravity"]
+
+    rng = np.random.default_rng(3)
+    states = []
+    for _ in range(R):
+        dpose = np.zeros((LAYOUT.W, 6))
+        dpose[1:] = rng.normal(0, 0.03, (LAYOUT.W - 1, 6))
+        states.append(
+            gt._replace(poses=jax.vmap(pose_boxplus)(gt.poses, jnp.asarray(dpose)))
+        )
+    batched = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+
+    def build(s):
+        pb = build_proj_rows(LAYOUT, s, proj, PSI, 20.0, 1.0)
+        ib = build_imu_rows(LAYOUT, s, imu, g)
+        return pb.J, pb.Jl, ib.J
+
+    eager = [jax.tree_util.tree_map(np.asarray, build(s)) for s in states]
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(P("robot"),), out_specs=P("robot")
+    )
+    def sm_build(state_b):
+        out = build(jax.tree_util.tree_map(lambda x: x[0], state_b))
+        return jax.tree_util.tree_map(lambda x: x[None], out)
+
+    out = sm_build(batched)
+    for r in range(R):
+        for got, want in zip(jax.tree_util.tree_map(lambda x: x[r], out), eager[r]):
+            np.testing.assert_allclose(np.asarray(got), want, atol=1e-9)
