@@ -1,0 +1,275 @@
+"""Rosbag preparation toolbox: quadcam split, multi-bag sync, filtering.
+
+TPU-framework equivalents of the reference's dataset-preparation
+scripts (reference: quadcam_tools/quad_cam_split.py — split the
+composite quadcam image horizontally into per-camera views;
+quadcam_tools/sync_multi_bags.py — shift every drone's bag so all
+start at a common zero, anchored at the first camera frame; plus a
+generic topic/time filter used throughout their bag tooling).
+
+Library functions + a CLI:
+
+    python -m d2slam_tpu.tools.bag_tools split  -i in.bag [-o out.bag] [-n 4] [--step 2]
+    python -m d2slam_tpu.tools.bag_tools sync   a.bag b.bag ... [--out-dir DIR]
+    python -m d2slam_tpu.tools.bag_tools filter -i in.bag -o out.bag [--topics ...] [--start S] [--end E]
+    python -m d2slam_tpu.tools.bag_tools info   -i in.bag
+"""
+from __future__ import annotations
+
+import struct
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from d2slam_tpu.datasets.rosbag import RosbagReader, RosbagWriter
+
+# message types whose serialized form begins with std_msgs/Header
+# (seq uint32, stamp 2x uint32, frame_id string) — the embedded stamp
+# can be patched in place at bytes [4, 12).
+_HEADER_FIRST = {
+    "sensor_msgs/Imu",
+    "sensor_msgs/Image",
+    "sensor_msgs/CompressedImage",
+    "sensor_msgs/CameraInfo",
+    "sensor_msgs/PointCloud2",
+    "sensor_msgs/Range",
+    "sensor_msgs/MagneticField",
+    "sensor_msgs/FluidPressure",
+    "geometry_msgs/PoseStamped",
+    "geometry_msgs/TwistStamped",
+    "geometry_msgs/PointStamped",
+    "nav_msgs/Odometry",
+    "nav_msgs/Path",
+}
+
+_IMAGE_TYPES = ("sensor_msgs/Image", "sensor_msgs/CompressedImage")
+
+
+def split_composite(img: np.ndarray, n_views: int = 4) -> List[np.ndarray]:
+    """Split a horizontally-assembled multi-camera image into views
+    (reference quad_cam_split.py split_image: vertical cuts at w/n)."""
+    w = img.shape[1] // n_views
+    return [img[:, i * w:(i + 1) * w] for i in range(n_views)]
+
+
+def _shift_stamp(msgtype: str, data: bytes, dt: float) -> bytes:
+    """Return ``data`` with the embedded header stamp shifted by dt
+    seconds (for Header-first message types; others pass through —
+    the record time still moves, which is what replay tools key on)."""
+    if msgtype not in _HEADER_FIRST or len(data) < 12:
+        return data
+    secs, nsecs = struct.unpack_from("<II", data, 4)
+    t = secs + nsecs * 1e-9 + dt
+    if t < 0:
+        t = 0.0
+    new_secs = int(t)
+    new_nsecs = int(round((t - new_secs) * 1e9))
+    if new_nsecs >= 1_000_000_000:
+        new_secs += 1
+        new_nsecs -= 1_000_000_000
+    return data[:4] + struct.pack("<II", new_secs, new_nsecs) + data[12:]
+
+
+def find_time0(path: str,
+               image_topics: Optional[Sequence[str]] = None) -> float:
+    """First camera-frame record time in the bag (the reference anchors
+    multi-bag sync at the first image, sync_multi_bags.py get_time0)."""
+    reader = RosbagReader(path)
+    img_topics = {
+        t for t, ty in reader.topics.items() if ty in _IMAGE_TYPES
+    }
+    if image_topics:
+        img_topics &= set(image_topics)
+    if not img_topics:
+        raise ValueError(f"{path}: no image topics to anchor sync on")
+    for topic, t, _ in reader.read_messages(sorted(img_topics), raw=True):
+        return t
+    raise ValueError(f"{path}: image topics exist but carry no messages")
+
+
+def shift_bag(input_path: str, output_path: str, dt: float,
+              topics: Optional[Sequence[str]] = None) -> int:
+    """Rewrite a bag with all record times (and embedded header stamps
+    of standard types) shifted by ``dt`` seconds. Returns messages written."""
+    reader = RosbagReader(input_path)
+    types = reader.topics
+    n = 0
+    with RosbagWriter(output_path) as w:
+        for topic, t, data in reader.read_messages(topics, raw=True):
+            ty = types.get(topic, "")
+            w.write_raw(topic, ty, max(t + dt, 0.0),
+                        _shift_stamp(ty, data, dt))
+            n += 1
+    return n
+
+
+def sync_bags(paths: Sequence[str], out_dir: Optional[str] = None,
+              t_start: float = 1.0) -> List[Tuple[str, float]]:
+    """Time-align one bag per robot for synchronized swarm replay.
+
+    Every bag is shifted so its first camera frame lands at ``t_start``
+    (ROS time must stay positive). Output names follow the reference's
+    convention: ``<stem>-sync.bag``. Returns [(output_path, shift_s)].
+    """
+    outs = []
+    for p in paths:
+        t0 = find_time0(p)
+        dt = t_start - t0
+        stem = Path(p)
+        out = (Path(out_dir) if out_dir else stem.parent) / (
+            stem.stem + "-sync.bag")
+        shift_bag(p, str(out), dt)
+        outs.append((str(out), dt))
+    return outs
+
+
+def filter_bag(input_path: str, output_path: str,
+               topics: Optional[Sequence[str]] = None,
+               t_start: Optional[float] = None,
+               t_end: Optional[float] = None,
+               step: int = 1) -> int:
+    """Copy a bag keeping only selected topics / a record-time window /
+    every ``step``-th message per topic. Returns messages written."""
+    reader = RosbagReader(input_path)
+    types = reader.topics
+    counts: Dict[str, int] = {}
+    n = 0
+    with RosbagWriter(output_path) as w:
+        for topic, t, data in reader.read_messages(topics, raw=True):
+            if t_start is not None and t < t_start:
+                continue
+            if t_end is not None and t > t_end:
+                continue
+            c = counts.get(topic, 0)
+            counts[topic] = c + 1
+            if c % step:
+                continue
+            w.write_raw(topic, types.get(topic, ""), t, data)
+            n += 1
+    return n
+
+
+def split_quadcam_bag(input_path: str, output_path: Optional[str] = None,
+                      composite_topic: Optional[str] = None,
+                      n_views: int = 4, step: int = 1,
+                      t_start: float = 0.0,
+                      view_topic_fmt: str = "/cam_{i}/image",
+                      keep_topics: Optional[Sequence[str]] = None) -> str:
+    """Split composite quadcam images into per-view Image topics.
+
+    The reference records all four fisheye views side-by-side in one
+    image (topics like /oak_ffc_4p/assemble_image) and splits before
+    processing (quad_cam_split.py). Non-image topics listed in
+    ``keep_topics`` (e.g. /imu) are copied through unchanged.
+    Returns the output path (default ``<stem>-split.bag``).
+    """
+    reader = RosbagReader(input_path)
+    types = reader.topics
+    if composite_topic is None:
+        cands = [t for t, ty in types.items() if ty in _IMAGE_TYPES]
+        if len(cands) != 1:
+            raise ValueError(
+                f"{input_path}: specify composite_topic; image topics "
+                f"found: {cands}")
+        composite_topic = cands[0]
+    if output_path is None:
+        p = Path(input_path)
+        output_path = str(p.parent / (p.stem + "-split.bag"))
+
+    want = [composite_topic, *(keep_topics or [])]
+    seen = 0
+    with RosbagWriter(output_path) as w:
+        for topic, t, msg in reader.read_messages(want):
+            if topic != composite_topic:
+                # raw copy of pass-through topics
+                continue_raw = isinstance(msg, (bytes, bytearray))
+                if continue_raw:
+                    w.write_raw(topic, types.get(topic, ""), t, msg)
+                elif "acc" in msg:
+                    w.write_imu(topic, msg["stamp"], msg["acc"], msg["gyr"])
+                continue
+            if t < t_start:
+                continue
+            if seen % step:
+                seen += 1
+                continue
+            seen += 1
+            img = msg.get("image")
+            if img is None:
+                continue
+            if img.ndim == 3:  # collapse color: frontend consumes gray
+                img = img.mean(axis=-1).astype(np.uint8)
+            stamp = msg.get("stamp", t)
+            for i, view in enumerate(split_composite(img, n_views)):
+                w.write_image(view_topic_fmt.format(i=i), stamp,
+                              np.ascontiguousarray(view))
+    return output_path
+
+
+def bag_info(path: str) -> Dict[str, Dict]:
+    """Per-topic message counts and time span (rosbag-info equivalent)."""
+    reader = RosbagReader(path)
+    types = reader.topics
+    stats: Dict[str, Dict] = {}
+    for topic, t, _ in reader.read_messages(raw=True):
+        s = stats.setdefault(
+            topic, {"type": types.get(topic, "?"), "count": 0,
+                    "t0": t, "t1": t})
+        s["count"] += 1
+        s["t1"] = t
+    return stats
+
+
+def _main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser(prog="d2slam_tpu.tools.bag_tools")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("split", help="split composite quadcam images")
+    sp.add_argument("-i", "--input", required=True)
+    sp.add_argument("-o", "--output")
+    sp.add_argument("-t", "--topic", help="composite image topic")
+    sp.add_argument("-n", "--views", type=int, default=4)
+    sp.add_argument("--step", type=int, default=1)
+    sp.add_argument("--start", type=float, default=0.0)
+    sp.add_argument("--keep", nargs="*", help="topics to copy through")
+
+    sy = sub.add_parser("sync", help="align bags to a common start time")
+    sy.add_argument("bags", nargs="+")
+    sy.add_argument("--out-dir")
+    sy.add_argument("--t-start", type=float, default=1.0)
+
+    fl = sub.add_parser("filter", help="topic/time/step filter")
+    fl.add_argument("-i", "--input", required=True)
+    fl.add_argument("-o", "--output", required=True)
+    fl.add_argument("--topics", nargs="*")
+    fl.add_argument("--start", type=float)
+    fl.add_argument("--end", type=float)
+    fl.add_argument("--step", type=int, default=1)
+
+    inf = sub.add_parser("info", help="per-topic counts and spans")
+    inf.add_argument("-i", "--input", required=True)
+
+    a = ap.parse_args(argv)
+    if a.cmd == "split":
+        out = split_quadcam_bag(
+            a.input, a.output, a.topic, a.views, a.step, a.start,
+            keep_topics=a.keep)
+        print(f"wrote {out}")
+    elif a.cmd == "sync":
+        for out, dt in sync_bags(a.bags, a.out_dir, a.t_start):
+            print(f"wrote {out} (shift {dt:+.3f} s)")
+    elif a.cmd == "filter":
+        n = filter_bag(a.input, a.output, a.topics, a.start, a.end, a.step)
+        print(f"wrote {a.output} ({n} messages)")
+    elif a.cmd == "info":
+        for topic, s in sorted(bag_info(a.input).items()):
+            span = s["t1"] - s["t0"]
+            print(f"{topic:40s} {s['type']:32s} {s['count']:7d} msgs  "
+                  f"{span:8.1f} s")
+
+
+if __name__ == "__main__":
+    _main()

@@ -258,7 +258,10 @@ class OnnxRunner:
         return x[tuple(sl)]
 
     # -- traced execution ------------------------------------------------
-    def __call__(self, params, *inputs):
+    def __call__(self, params, *inputs, return_env: bool = False):
+        """Run the graph. With return_env=True also returns the full
+        name->value environment (every node output) — used by the
+        quantization calibrator to observe activation ranges."""
         env: Dict[str, object] = {}
         for (name, _), x in zip(self.graph.inputs, inputs):
             env[name] = x
@@ -267,7 +270,8 @@ class OnnxRunner:
                 continue
             self._exec_node(env, params, node)
         outs = [self._get(env, params, n) for n in self.graph.outputs]
-        return outs[0] if len(outs) == 1 else tuple(outs)
+        out = outs[0] if len(outs) == 1 else tuple(outs)
+        return (out, env) if return_env else out
 
     def _exec_node(self, env, params, node: OnnxNode):
         op = node.op_type

@@ -1,0 +1,78 @@
+"""Bag toolbox: quadcam split, multi-bag sync, filter, info."""
+import numpy as np
+
+from d2slam_tpu.datasets.rosbag import RosbagReader, RosbagWriter
+from d2slam_tpu.tools.bag_tools import (
+    bag_info,
+    filter_bag,
+    find_time0,
+    split_composite,
+    split_quadcam_bag,
+    sync_bags,
+)
+
+
+def _write_quadcam_bag(path, t0=100.0, n_frames=6):
+    rng = np.random.RandomState(1)
+    composites = []
+    with RosbagWriter(str(path)) as w:
+        for i in range(n_frames * 5):
+            w.write_imu("/imu", t0 + i * 0.01, acc=[0, 0, 9.8], gyr=[0, 0, 0])
+        for i in range(n_frames):
+            img = rng.randint(0, 256, (20, 4 * 32), np.uint8)
+            composites.append(img)
+            w.write_image("/arducam/image", t0 + i * 0.05, img)
+    return composites
+
+
+def test_split_composite():
+    img = np.arange(8 * 16, dtype=np.uint8).reshape(8, 16)
+    views = split_composite(img, 4)
+    assert len(views) == 4 and all(v.shape == (8, 4) for v in views)
+    np.testing.assert_array_equal(np.concatenate(views, axis=1), img)
+
+
+def test_split_quadcam_bag(tmp_path):
+    p = tmp_path / "quad.bag"
+    composites = _write_quadcam_bag(p)
+    out = split_quadcam_bag(str(p), keep_topics=["/imu"], step=2)
+    r = RosbagReader(out)
+    assert r.topics["/cam_0/image"] == "sensor_msgs/Image"
+    cams = [[m["image"] for _, _, m in r.read_messages([f"/cam_{i}/image"])]
+            for i in range(4)]
+    assert all(len(c) == 3 for c in cams)  # step=2 over 6 frames
+    # view i of frame 0 is the i-th horizontal quarter of composite 0
+    for i in range(4):
+        np.testing.assert_array_equal(
+            cams[i][0], composites[0][:, i * 32:(i + 1) * 32])
+    # IMU passed through
+    assert len(list(r.read_messages(["/imu"]))) == 30
+
+
+def test_sync_bags(tmp_path):
+    pa = tmp_path / "droneA.bag"
+    pb = tmp_path / "droneB.bag"
+    _write_quadcam_bag(pa, t0=100.0)
+    _write_quadcam_bag(pb, t0=250.5)
+    assert abs(find_time0(str(pa)) - 100.0) < 1e-6
+    outs = sync_bags([str(pa), str(pb)], out_dir=str(tmp_path), t_start=1.0)
+    t0s = [find_time0(out) for out, _ in outs]
+    assert all(abs(t - 1.0) < 1e-6 for t in t0s)
+    # embedded header stamps were shifted along with record times
+    ra = RosbagReader(outs[0][0])
+    for _, t, m in ra.read_messages(["/imu"]):
+        assert abs(m["stamp"] - t) < 1e-6
+        break
+
+
+def test_filter_and_info(tmp_path):
+    p = tmp_path / "quad.bag"
+    _write_quadcam_bag(p, t0=10.0)
+    out = tmp_path / "cut.bag"
+    n = filter_bag(str(p), str(out), topics=["/imu"],
+                   t_start=10.05, t_end=10.15, step=1)
+    assert n == 11  # 0.05..0.15 inclusive at 100 Hz
+    info = bag_info(str(out))
+    assert set(info) == {"/imu"}
+    assert info["/imu"]["count"] == 11
+    assert abs(info["/imu"]["t1"] - info["/imu"]["t0"] - 0.1) < 1e-6
