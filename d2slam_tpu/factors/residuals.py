@@ -221,6 +221,10 @@ def consensus_pose_residual(pose, pose_ref, t_tilde, theta_tilde, rho_T, rho_the
     """
     q_ref = quat_normalize(pose_ref[3:])
     q_err = quat_mul(quat_conj(q_ref), quat_normalize(pose[3:]))
+    # hemisphere correction: local and reference quaternions may sit on
+    # opposite signs of the double cover (per-robot rot-init / Markley
+    # averaging both have arbitrary sign); penalize the short geodesic
+    q_err = q_err * jnp.where(q_err[3] < 0, -1.0, 1.0)
     r_theta = rho_theta * (2.0 * q_err[:3] + theta_tilde)
     r_t = rho_T * (
         quat_rotate(quat_conj(q_ref), pose[:3] - pose_ref[:3]) + t_tilde

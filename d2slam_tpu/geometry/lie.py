@@ -145,8 +145,15 @@ def so3_exp_quat(theta):
 
 
 def so3_log_quat(q):
-    """Logarithm map quaternion -> rotation vector (angle-axis * angle)."""
+    """Logarithm map quaternion -> rotation vector (angle-axis * angle).
+
+    Hemisphere-corrected: q and -q are the same rotation, so the log
+    takes the representative with w >= 0 (shortest geodesic, angle in
+    [0, pi]) — otherwise a sign flip between two nearly-equal
+    quaternions reads as a ~2*pi rotation.
+    """
     q = quat_normalize(q)
+    q = q * jnp.where(q[..., 3:4] < 0, -1.0, 1.0)
     qv = q[..., :3]
     qw = q[..., 3:4]
     n = jnp.linalg.norm(qv, axis=-1, keepdims=True)

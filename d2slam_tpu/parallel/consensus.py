@@ -71,6 +71,10 @@ def dual_update(local_poses, global_poses, tilde, est_mask, alpha=0.0):
         q_ref = quat_normalize(gp[3:])
         dt_ref = quat_rotate(quat_conj(q_ref), lp[:3] - gp[:3])
         q_err = quat_mul(quat_conj(q_ref), quat_normalize(lp[3:]))
+        # hemisphere correction — must match consensus_pose_residual's
+        # convention exactly or the accumulated dual measures a
+        # different quantity than the penalty it feeds
+        q_err = q_err * jnp.where(q_err[3] < 0, -1.0, 1.0)
         dtheta = 2.0 * q_err[:3]
         return t + (1.0 + alpha) * jnp.concatenate([dt_ref, dtheta])
 
