@@ -161,6 +161,71 @@ def calibrate_kb(
     return KBParams(*[float(x[i]) for i in range(8)]), rms
 
 
+def calibrate_stereo_extrinsic(
+    board_pts: np.ndarray,             # [K, 3] board-frame corners (z=0)
+    img_pts0_list: List[np.ndarray],   # V x [K, 2] pixels in camera 0
+    img_pts1_list: List[np.ndarray],   # V x [K, 2] pixels in camera 1
+    project0,                          # pts_cam [K,3] -> (uv [K,2], valid [K])
+    project1,
+    intr0_f: float,
+    intr0_c: Tuple[float, float],
+    intr1_f: float,
+    intr1_c: Tuple[float, float],
+) -> Tuple[np.ndarray, float]:
+    """Stereo extrinsic calibration: cam1_T_cam0 from joint checkerboard
+    views (reference: quadcam_tools/stereo_calib.py, calib_stereos.py —
+    cv2.stereoCalibrate over the camera chain). Intrinsics are fixed
+    (calibrate per-camera first); the LM jointly refines the relative
+    pose and the per-view board poses.
+
+    project0/project1: intrinsic projection closures (e.g.
+    ``lambda pc: pinhole_project(pc, params0)``).
+    Returns (rel_pose [7] cam1_T_cam0, RMS reprojection error px).
+    """
+    V = len(img_pts0_list)
+    assert len(img_pts1_list) == V
+    poses0 = _init_poses(board_pts, img_pts0_list, intr0_f, *intr0_c)
+    poses1 = _init_poses(board_pts, img_pts1_list, intr1_f, *intr1_c)
+    # per-view relative estimates cam1_T_cam0 = pose1 ∘ pose0^-1; average
+    rels = np.stack([
+        np_lie.pose_compose(poses1[v], np_lie.pose_inverse(poses0[v]))
+        for v in range(V)
+    ])
+    rel0 = rels[0].copy()
+    rel0[:3] = rels[:, :3].mean(0)
+
+    board = jnp.asarray(board_pts, jnp.float64)
+    obs0 = jnp.asarray(np.stack(img_pts0_list), jnp.float64)
+    obs1 = jnp.asarray(np.stack(img_pts1_list), jnp.float64)
+    poses0_j = jnp.asarray(poses0, jnp.float64)
+    rel0_j = jnp.asarray(rel0, jnp.float64)
+
+    def residual(x):
+        drel = x[:6]
+        dpose = x[6:].reshape(V, 6)
+        rel = pose_boxplus(rel0_j, drel)
+        poses = jax.vmap(pose_boxplus)(poses0_j, dpose)  # cam0_T_world
+
+        def per_view(pose, o0, o1):
+            pc0 = quat_rotate(pose[3:], board) + pose[:3]
+            uv0, v0 = project0(pc0)
+            pc1 = quat_rotate(rel[3:], pc0) + rel[:3]
+            uv1, v1 = project1(pc1)
+            return jnp.concatenate([
+                ((uv0 - o0) * v0[:, None]).reshape(-1),
+                ((uv1 - o1) * v1[:, None]).reshape(-1),
+            ])
+
+        return jax.vmap(per_view)(poses, obs0, obs1).reshape(-1)
+
+    x0 = jnp.zeros(6 + V * 6, jnp.float64)
+    x, cost = _lm_calibrate(residual, x0)
+    rel = np.asarray(pose_boxplus(rel0_j, x[:6]))
+    n = 2 * sum(len(p) for p in img_pts0_list)
+    rms = float(np.sqrt(cost / n))
+    return rel, rms
+
+
 def calibrate_vignette(mean_image: np.ndarray, cx=None, cy=None,
                        degree: int = 3):
     """Fit a radial attenuation polynomial v(r) = 1 + a1 r^2 + ... from

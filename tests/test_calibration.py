@@ -79,3 +79,50 @@ def test_calibrate_vignette():
     flat = img * corr
     # corrected image should be nearly uniform
     assert flat.std() / flat.mean() < 0.02
+
+
+def test_calibrate_stereo_extrinsic():
+    from d2slam_tpu.tools.calibration import calibrate_stereo_extrinsic
+
+    rng = np.random.default_rng(5)
+    board = make_board()
+    p0 = PinholeParams(fx=460.0, fy=458.0, cx=320.0, cy=240.0,
+                       k1=0.0, k2=0.0, p1=0.0, p2=0.0)
+    p1 = PinholeParams(fx=455.0, fy=456.0, cx=318.0, cy=242.0,
+                       k1=0.0, k2=0.0, p1=0.0, p2=0.0)
+    # ground-truth extrinsic: 12 cm baseline + slight toe-in yaw
+    from d2slam_tpu.geometry.lie import so3_exp_quat
+
+    q_gt = np.asarray(so3_exp_quat(jnp.asarray([0.0, 0.02, 0.005])))
+    rel_gt = np.concatenate([[-0.12, 0.001, 0.002], q_gt])
+
+    img0, img1 = [], []
+    while len(img0) < 8:
+        q = np.asarray(so3_exp_quat(jnp.asarray(rng.normal(0, 0.2, 3))))
+        t = np.array([rng.normal(0, 0.06), rng.normal(0, 0.05),
+                      rng.uniform(0.45, 0.7)])
+        pose = np.concatenate([t, q])  # cam0_T_board
+        pc0 = (np_lie.quat_to_rotmat(pose[3:]) @ board.T).T + pose[:3]
+        pc1 = (np_lie.quat_to_rotmat(rel_gt[3:]) @ pc0.T).T + rel_gt[:3]
+        uv0, v0 = pinhole_project(jnp.asarray(pc0), p0)
+        uv1, v1 = pinhole_project(jnp.asarray(pc1), p1)
+        uv0, uv1 = np.asarray(uv0), np.asarray(uv1)
+        if not (np.asarray(v0).all() and np.asarray(v1).all()):
+            continue
+        if min(uv0.min(), uv1.min()) < 10 or \
+           max(uv0[:, 0].max(), uv1[:, 0].max()) > 630 or \
+           max(uv0[:, 1].max(), uv1[:, 1].max()) > 470:
+            continue
+        img0.append(uv0 + rng.normal(0, 0.1, uv0.shape))
+        img1.append(uv1 + rng.normal(0, 0.1, uv1.shape))
+
+    rel, rms = calibrate_stereo_extrinsic(
+        board, img0, img1,
+        lambda pc: pinhole_project(pc, p0),
+        lambda pc: pinhole_project(pc, p1),
+        460.0, (320.0, 240.0), 455.0, (318.0, 242.0),
+    )
+    assert rms < 0.3, rms
+    # baseline within 1 mm, rotation within ~0.2 deg
+    np.testing.assert_allclose(rel[:3], rel_gt[:3], atol=1e-3)
+    assert abs(np.dot(rel[3:], rel_gt[3:])) > 1 - 1e-5
