@@ -28,7 +28,9 @@ def main():
     out = solve(state, imu, proj)
     jax.block_until_ready(out)
 
-    n = 20
+    # steady-state: enough chained async dispatches to fill the pipe
+    # (the production path keeps the device busy frame after frame)
+    n = 100
     t0 = time.perf_counter()
     for _ in range(n):
         out = solve(state, imu, proj)
