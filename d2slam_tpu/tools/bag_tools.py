@@ -207,6 +207,108 @@ def split_quadcam_bag(input_path: str, output_path: Optional[str] = None,
     return output_path
 
 
+def photometric_align(img_l: np.ndarray, img_r: np.ndarray):
+    """Match the right image's mean brightness to the left's (reference
+    stereo_gen.py stereoPhotometicAlign — virtual pairs come from two
+    physical cameras with different exposure)."""
+    ml, mr = float(img_l.mean()), float(img_r.mean())
+    img_r = np.clip(img_r * (ml / max(mr, 1e-6)), 0, 255)
+    return img_l, img_r.astype(img_l.dtype)
+
+
+def generate_stereo_bag(
+    input_path: str,
+    output_path: str,
+    calib: Dict,
+    composite_topic: Optional[str] = None,
+    step: int = 1,
+    align: bool = True,
+) -> int:
+    """Rewrite a quadcam bag as rectified virtual-stereo pairs.
+
+    The reference generates training/eval stereo from fisheye bags by
+    undistorting adjacent cameras into co-facing pinhole halves
+    (quadcam_tools/generate_stereo_from_bag.py + stereo_gen.py); this
+    uses the same virtual-stereo construction as the depth pipeline
+    (depth/quadcam.py) and writes ``/virtual_stereo_{k}/left|right``
+    Image topics.
+
+    calib: {"cams": [{fx, fy, cx, cy, k2, k3, k4, k5} x4],
+            "baseline": m, "out_hw": [H, W] (opt),
+            "fov_deg": virtual FOV (opt)}
+    Returns number of stereo pairs written.
+    """
+    import jax.numpy as jnp
+
+    from d2slam_tpu.depth.quadcam import (
+        QuadcamConfig,
+        build_virtual_stereo,
+    )
+    from d2slam_tpu.depth.fisheye_undist import remap_bilinear
+    from d2slam_tpu.geometry.cameras import KBParams
+    from d2slam_tpu.geometry.lie import so3_exp
+    from d2slam_tpu.utils import np_lie
+
+    cams = calib["cams"]
+    if len(cams) != 4:
+        raise ValueError("quadcam calib needs 4 cameras")
+    fisheyes = [
+        KBParams.make(c["fx"], c["fy"], c["cx"], c["cy"],
+                      k2=c.get("k2", 0.0), k3=c.get("k3", 0.0),
+                      k4=c.get("k4", 0.0), k5=c.get("k5", 0.0),
+                      dtype=jnp.float32)
+        for c in cams
+    ]
+    baseline = float(calib.get("baseline", 0.3))
+    ext = np.zeros((4, 7))
+    for i in range(4):
+        yaw = np.deg2rad(90.0 * i)
+        R = np.asarray(so3_exp(jnp.asarray([0.0, yaw, 0.0])))
+        ext[i] = np.concatenate(
+            [R @ [baseline / 2, 0, baseline / 2], np_lie.rotmat_to_quat(R)])
+    cfg = QuadcamConfig(
+        out_hw=tuple(calib.get("out_hw", (240, 320))),
+        virtual_fov_deg=float(calib.get("fov_deg", 90.0)),
+    )
+    pairs = build_virtual_stereo(fisheyes, ext, cfg)
+
+    reader = RosbagReader(input_path)
+    types = reader.topics
+    if composite_topic is None:
+        cands = [t for t, ty in types.items() if ty in _IMAGE_TYPES]
+        if len(cands) != 1:
+            raise ValueError(f"specify composite_topic; found {cands}")
+        composite_topic = cands[0]
+
+    n_written = 0
+    seen = 0
+    with RosbagWriter(output_path) as w:
+        for topic, t, msg in reader.read_messages([composite_topic]):
+            img = msg.get("image") if isinstance(msg, dict) else None
+            if img is None:
+                continue
+            if seen % step:
+                seen += 1
+                continue
+            seen += 1
+            if img.ndim == 3:
+                img = img.mean(axis=-1)
+            views = [jnp.asarray(v, jnp.float32)
+                     for v in split_composite(np.asarray(img), 4)]
+            stamp = msg.get("stamp", t)
+            for k, p in enumerate(pairs):
+                left = np.asarray(remap_bilinear(views[p.cam_left], p.map_left))
+                right = np.asarray(remap_bilinear(views[p.cam_right], p.map_right))
+                left = np.clip(left, 0, 255).astype(np.uint8)
+                right = np.clip(right, 0, 255).astype(np.uint8)
+                if align:
+                    left, right = photometric_align(left, right)
+                w.write_image(f"/virtual_stereo_{k}/left", stamp, left)
+                w.write_image(f"/virtual_stereo_{k}/right", stamp, right)
+                n_written += 1
+    return n_written
+
+
 def bag_info(path: str) -> Dict[str, Dict]:
     """Per-topic message counts and time span (rosbag-info equivalent)."""
     reader = RosbagReader(path)
@@ -249,6 +351,18 @@ def _main(argv=None):
     fl.add_argument("--end", type=float)
     fl.add_argument("--step", type=int, default=1)
 
+    sg = sub.add_parser("stereo-gen",
+                        help="fisheye quadcam -> rectified virtual stereo")
+    sg.add_argument("-i", "--input", required=True)
+    sg.add_argument("-o", "--output", required=True)
+    sg.add_argument("-c", "--calib", required=True,
+                    help="YAML: cams (4x fx/fy/cx/cy/k2..k5), baseline, "
+                         "out_hw, fov_deg")
+    sg.add_argument("-t", "--topic", help="composite image topic")
+    sg.add_argument("--step", type=int, default=1)
+    sg.add_argument("--no-align", action="store_true",
+                    help="skip photometric mean alignment")
+
     inf = sub.add_parser("info", help="per-topic counts and spans")
     inf.add_argument("-i", "--input", required=True)
 
@@ -264,6 +378,14 @@ def _main(argv=None):
     elif a.cmd == "filter":
         n = filter_bag(a.input, a.output, a.topics, a.start, a.end, a.step)
         print(f"wrote {a.output} ({n} messages)")
+    elif a.cmd == "stereo-gen":
+        import yaml
+
+        with open(a.calib) as f:
+            calib = yaml.safe_load(f)
+        n = generate_stereo_bag(a.input, a.output, calib, a.topic,
+                                a.step, align=not a.no_align)
+        print(f"wrote {a.output} ({n} stereo pairs)")
     elif a.cmd == "info":
         for topic, s in sorted(bag_info(a.input).items()):
             span = s["t1"] - s["t0"]

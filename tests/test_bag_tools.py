@@ -76,3 +76,36 @@ def test_filter_and_info(tmp_path):
     assert set(info) == {"/imu"}
     assert info["/imu"]["count"] == 11
     assert abs(info["/imu"]["t1"] - info["/imu"]["t0"] - 0.1) < 1e-6
+
+
+def test_generate_stereo_bag(tmp_path):
+    from d2slam_tpu.tools.bag_tools import generate_stereo_bag
+
+    p = tmp_path / "quad.bag"
+    rng = np.random.RandomState(2)
+    with RosbagWriter(str(p)) as w:
+        for i in range(3):
+            # 4 fisheye views of 64x80 assembled horizontally
+            img = rng.randint(0, 256, (64, 4 * 80), np.uint8)
+            w.write_image("/oak_ffc_4p/assemble_image", 1.0 + i * 0.1, img)
+    calib = {
+        "cams": [dict(fx=40.0, fy=40.0, cx=40.0, cy=32.0, k2=0.01)] * 4,
+        "baseline": 0.3,
+        "out_hw": [48, 64],
+    }
+    out = tmp_path / "stereo.bag"
+    n = generate_stereo_bag(str(p), str(out), calib, step=1)
+    assert n == 3 * 4  # 4 virtual pairs per frame
+    r = RosbagReader(str(out))
+    topics = r.topics
+    for k in range(4):
+        assert topics[f"/virtual_stereo_{k}/left"] == "sensor_msgs/Image"
+        assert topics[f"/virtual_stereo_{k}/right"] == "sensor_msgs/Image"
+    msgs = [m for _, _, m in r.read_messages(["/virtual_stereo_0/left"])]
+    assert len(msgs) == 3 and msgs[0]["image"].shape == (48, 64)
+    # photometric alignment: left/right means match closely
+    lefts = [m for _, _, m in r.read_messages(["/virtual_stereo_1/left"])]
+    rights = [m for _, _, m in r.read_messages(["/virtual_stereo_1/right"])]
+    ml = lefts[0]["image"].mean()
+    mr = rights[0]["image"].mean()
+    assert abs(ml - mr) < 0.05 * ml
