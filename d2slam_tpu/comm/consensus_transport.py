@@ -137,6 +137,10 @@ class TransportConsensus:
                                         lp[:3] - gp[:3])
             q_err = np_lie.quat_mul(np_lie.quat_conj(q_ref),
                                     lp[3:] / np.linalg.norm(lp[3:]))
+            # hemisphere correction — must match consensus_pose_residual
+            # (same convention as parallel/consensus.py::dual_update)
+            if q_err[3] < 0:
+                q_err = -q_err
             d = np.concatenate([dt_ref, 2.0 * q_err[:3]])
             new_tilde[w] = tilde[w] + eta * d
         return global_poses, new_tilde, len(copies) - 1

@@ -79,7 +79,10 @@ def stream_partition(
             score = nb - alpha * gamma * sizes ** (gamma - 1)
             score = np.where(sizes >= cap, -np.inf, score)
         elif method == "ldg":
-            score = nb * (1.0 - sizes / C)
+            # LDG breaks ties toward the least-loaded part — without it,
+            # a vertex with no placed neighbors scores 0 for EVERY part
+            # and argmax dumps the whole stream into part 0
+            score = nb * (1.0 - sizes / C) - 1e-9 * sizes
         else:
             raise ValueError(f"unknown partition method {method!r}")
         if sticky is not None and sticky[v] >= 0:

@@ -53,22 +53,44 @@ def split_composite(img: np.ndarray, n_views: int = 4) -> List[np.ndarray]:
     return [img[:, i * w:(i + 1) * w] for i in range(n_views)]
 
 
+def _pack_time(t: float) -> bytes:
+    secs = int(t)
+    nsecs = int(round((t - secs) * 1e9))
+    if nsecs >= 1_000_000_000:
+        secs += 1
+        nsecs -= 1_000_000_000
+    return struct.pack("<II", secs, nsecs)
+
+
+def _shift_header_at(data: bytearray, pos: int, dt: float) -> int:
+    """Shift the std_msgs/Header starting at ``pos`` (seq, stamp,
+    frame_id) in place; returns the offset just past the header."""
+    secs, nsecs = struct.unpack_from("<II", data, pos + 4)
+    data[pos + 4 : pos + 12] = _pack_time(
+        max(secs + nsecs * 1e-9 + dt, 0.0))
+    (fid_len,) = struct.unpack_from("<I", data, pos + 12)
+    return pos + 16 + fid_len
+
+
 def _shift_stamp(msgtype: str, data: bytes, dt: float) -> bytes:
-    """Return ``data`` with the embedded header stamp shifted by dt
+    """Return ``data`` with the embedded header stamp(s) shifted by dt
     seconds (for Header-first message types; others pass through —
-    the record time still moves, which is what replay tools key on)."""
+    the record time still moves, which is what replay tools key on).
+    nav_msgs/Path also shifts the stamp inside every contained
+    PoseStamped, keeping the whole message on one timeline."""
     if msgtype not in _HEADER_FIRST or len(data) < 12:
         return data
-    secs, nsecs = struct.unpack_from("<II", data, 4)
-    t = secs + nsecs * 1e-9 + dt
-    if t < 0:
-        t = 0.0
-    new_secs = int(t)
-    new_nsecs = int(round((t - new_secs) * 1e9))
-    if new_nsecs >= 1_000_000_000:
-        new_secs += 1
-        new_nsecs -= 1_000_000_000
-    return data[:4] + struct.pack("<II", new_secs, new_nsecs) + data[12:]
+    buf = bytearray(data)
+    pos = _shift_header_at(buf, 0, dt)
+    if msgtype == "nav_msgs/Path" and pos + 4 <= len(buf):
+        (n_poses,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        for _ in range(n_poses):
+            if pos + 16 > len(buf):
+                break
+            pos = _shift_header_at(buf, pos, dt)  # PoseStamped.header
+            pos += 56  # Pose: point(3x f64) + quaternion(4x f64)
+    return bytes(buf)
 
 
 def find_time0(path: str,
@@ -89,19 +111,25 @@ def find_time0(path: str,
 
 
 def shift_bag(input_path: str, output_path: str, dt: float,
-              topics: Optional[Sequence[str]] = None) -> int:
+              topics: Optional[Sequence[str]] = None) -> Tuple[int, int]:
     """Rewrite a bag with all record times (and embedded header stamps
-    of standard types) shifted by ``dt`` seconds. Returns messages written."""
+    of standard types) shifted by ``dt`` seconds. Messages that would
+    land before time 0 are DROPPED — clamping them would collapse a
+    whole prefix of the stream onto identical timestamps (zero-dt IMU
+    intervals break preintegration on replay). Returns
+    (messages_written, messages_dropped)."""
     reader = RosbagReader(input_path)
     types = reader.topics
-    n = 0
+    n = dropped = 0
     with RosbagWriter(output_path) as w:
         for topic, t, data in reader.read_messages(topics, raw=True):
+            if t + dt < 0:
+                dropped += 1
+                continue
             ty = types.get(topic, "")
-            w.write_raw(topic, ty, max(t + dt, 0.0),
-                        _shift_stamp(ty, data, dt))
+            w.write_raw(topic, ty, t + dt, _shift_stamp(ty, data, dt))
             n += 1
-    return n
+    return n, dropped
 
 
 def sync_bags(paths: Sequence[str], out_dir: Optional[str] = None,
@@ -109,8 +137,11 @@ def sync_bags(paths: Sequence[str], out_dir: Optional[str] = None,
     """Time-align one bag per robot for synchronized swarm replay.
 
     Every bag is shifted so its first camera frame lands at ``t_start``
-    (ROS time must stay positive). Output names follow the reference's
-    convention: ``<stem>-sync.bag``. Returns [(output_path, shift_s)].
+    (ROS time must stay positive). Sensor data recorded more than
+    ``t_start`` seconds before the first camera frame is dropped —
+    raise ``t_start`` to keep a longer IMU warm-up prefix. Output names
+    follow the reference's convention: ``<stem>-sync.bag``. Returns
+    [(output_path, shift_s)].
     """
     outs = []
     for p in paths:
@@ -119,7 +150,11 @@ def sync_bags(paths: Sequence[str], out_dir: Optional[str] = None,
         stem = Path(p)
         out = (Path(out_dir) if out_dir else stem.parent) / (
             stem.stem + "-sync.bag")
-        shift_bag(p, str(out), dt)
+        _, dropped = shift_bag(p, str(out), dt)
+        if dropped:
+            print(f"{p}: dropped {dropped} pre-anchor messages "
+                  f"(older than {t_start:.2f} s before the first frame; "
+                  f"raise --t-start to keep them)")
         outs.append((str(out), dt))
     return outs
 
@@ -177,17 +212,18 @@ def split_quadcam_bag(input_path: str, output_path: Optional[str] = None,
         p = Path(input_path)
         output_path = str(p.parent / (p.stem + "-split.bag"))
 
+    from d2slam_tpu.datasets.rosbag import _DECODERS
+
     want = [composite_topic, *(keep_topics or [])]
+    decode_img = _DECODERS.get(types.get(composite_topic, ""))
     seen = 0
     with RosbagWriter(output_path) as w:
-        for topic, t, msg in reader.read_messages(want):
+        # raw=True: pass-through topics are copied byte-for-byte
+        # (orientation/covariance fields and record times preserved);
+        # only the composite topic is decoded
+        for topic, t, data in reader.read_messages(want, raw=True):
             if topic != composite_topic:
-                # raw copy of pass-through topics
-                continue_raw = isinstance(msg, (bytes, bytearray))
-                if continue_raw:
-                    w.write_raw(topic, types.get(topic, ""), t, msg)
-                elif "acc" in msg:
-                    w.write_imu(topic, msg["stamp"], msg["acc"], msg["gyr"])
+                w.write_raw(topic, types.get(topic, ""), t, data)
                 continue
             if t < t_start:
                 continue
@@ -195,7 +231,8 @@ def split_quadcam_bag(input_path: str, output_path: Optional[str] = None,
                 seen += 1
                 continue
             seen += 1
-            img = msg.get("image")
+            msg = decode_img(data) if decode_img else None
+            img = msg.get("image") if msg else None
             if img is None:
                 continue
             if img.ndim == 3:  # collapse color: frontend consumes gray
@@ -235,7 +272,13 @@ def generate_stereo_bag(
 
     calib: {"cams": [{fx, fy, cx, cy, k2, k3, k4, k5} x4],
             "baseline": m, "out_hw": [H, W] (opt),
-            "fov_deg": virtual FOV (opt)}
+            "fov_deg": virtual FOV (opt),
+            "extrinsics": [[x y z qx qy qz qw] x4] (opt)}
+    ``extrinsics`` are the calibrated body_T_cam poses (e.g. from
+    tools.calibration.calibrate_stereo_extrinsic chained around the
+    rig); without them an idealized square rig is assumed (cameras at
+    exact 90-degree yaw steps, symmetric ``baseline`` translations) —
+    fine for synthetic data, mis-rectified on a real rig.
     Returns number of stereo pairs written.
     """
     import jax.numpy as jnp
@@ -259,13 +302,19 @@ def generate_stereo_bag(
                       dtype=jnp.float32)
         for c in cams
     ]
-    baseline = float(calib.get("baseline", 0.3))
-    ext = np.zeros((4, 7))
-    for i in range(4):
-        yaw = np.deg2rad(90.0 * i)
-        R = np.asarray(so3_exp(jnp.asarray([0.0, yaw, 0.0])))
-        ext[i] = np.concatenate(
-            [R @ [baseline / 2, 0, baseline / 2], np_lie.rotmat_to_quat(R)])
+    if "extrinsics" in calib:
+        ext = np.asarray(calib["extrinsics"], np.float64)
+        if ext.shape != (4, 7):
+            raise ValueError("extrinsics must be 4 x [x y z qx qy qz qw]")
+    else:
+        baseline = float(calib.get("baseline", 0.3))
+        ext = np.zeros((4, 7))
+        for i in range(4):
+            yaw = np.deg2rad(90.0 * i)
+            R = np.asarray(so3_exp(jnp.asarray([0.0, yaw, 0.0])))
+            ext[i] = np.concatenate(
+                [R @ [baseline / 2, 0, baseline / 2],
+                 np_lie.rotmat_to_quat(R)])
     cfg = QuadcamConfig(
         out_hw=tuple(calib.get("out_hw", (240, 320))),
         virtual_fov_deg=float(calib.get("fov_deg", 90.0)),

@@ -109,3 +109,99 @@ def test_generate_stereo_bag(tmp_path):
     ml = lefts[0]["image"].mean()
     mr = rights[0]["image"].mean()
     assert abs(ml - mr) < 0.05 * ml
+
+
+def test_sync_drops_pre_anchor_messages(tmp_path):
+    from d2slam_tpu.tools.bag_tools import shift_bag
+
+    p = tmp_path / "warmup.bag"
+    with RosbagWriter(str(p)) as w:
+        # IMU starts 3 s before the first camera frame
+        for i in range(400):
+            w.write_imu("/imu", 100.0 + i * 0.01, [0, 0, 9.8], [0, 0, 0])
+        w.write_image("/cam/image", 103.0,
+                      np.zeros((8, 8), np.uint8))
+    outs = sync_bags([str(p)], out_dir=str(tmp_path), t_start=1.0)
+    r = RosbagReader(outs[0][0])
+    ts = [t for _, t, _ in r.read_messages(["/imu"], raw=True)]
+    # pre-anchor prefix dropped, not collapsed onto t=0
+    assert min(ts) >= 0.0
+    diffs = np.diff(sorted(ts))
+    assert diffs.min() > 0.005  # no zero-dt IMU intervals
+    n_all, dropped = shift_bag(str(p), str(tmp_path / "x.bag"), -102.0)
+    assert dropped == 200  # exactly the first 2 s of IMU
+
+
+def test_split_passthrough_is_lossless(tmp_path):
+    p = tmp_path / "quad.bag"
+    rng = np.random.RandomState(3)
+    with RosbagWriter(str(p)) as w:
+        for i in range(4):
+            w.write_raw("/gt", "geometry_msgs/PoseStamped", 5.0 + i,
+                        b"\x00" * 12 + b"\x00\x00\x00\x00" + b"\x01" * 56)
+        w.write_image("/arducam/image", 5.0,
+                      rng.randint(0, 256, (8, 4 * 8), np.uint8))
+    out = split_quadcam_bag(str(p), composite_topic="/arducam/image",
+                            keep_topics=["/gt"])
+    r = RosbagReader(out)
+    msgs = [(t, d) for _, t, d in r.read_messages(["/gt"], raw=True)]
+    assert len(msgs) == 4  # PoseStamped kept (previously silently dropped)
+    assert msgs[0][1].endswith(b"\x01" * 56)  # byte-for-byte copy
+
+
+def test_shift_path_inner_stamps(tmp_path):
+    import struct
+
+    from d2slam_tpu.tools.bag_tools import _shift_stamp
+
+    def header(t, fid=b""):
+        secs, nsecs = int(t), int((t - int(t)) * 1e9)
+        return struct.pack("<III", 0, secs, nsecs) + \
+            struct.pack("<I", len(fid)) + fid
+
+    pose = b"\x00" * 56
+    path_msg = header(100.0, b"map") + struct.pack("<I", 2) + \
+        header(100.5) + pose + header(101.0) + pose
+    out = _shift_stamp("nav_msgs/Path", path_msg, -99.0)
+    s, ns = struct.unpack_from("<II", out, 4)
+    assert s + ns * 1e-9 == 1.0
+    # first inner PoseStamped: after outer header (16 + 3) + count (4)
+    pos = 16 + 3 + 4
+    s, ns = struct.unpack_from("<II", out, pos + 4)
+    assert abs(s + ns * 1e-9 - 1.5) < 1e-6
+    pos2 = pos + 16 + 0 + 56
+    s, ns = struct.unpack_from("<II", out, pos2 + 4)
+    assert abs(s + ns * 1e-9 - 2.0) < 1e-6
+
+
+def test_generate_stereo_with_extrinsics(tmp_path):
+    from d2slam_tpu.tools.bag_tools import generate_stereo_bag
+
+    p = tmp_path / "quad.bag"
+    rng = np.random.RandomState(4)
+    with RosbagWriter(str(p)) as w:
+        w.write_image("/cam/image", 1.0,
+                      rng.randint(0, 256, (64, 4 * 80), np.uint8))
+    # calibrated rig: slight deviations from the ideal square
+    import jax.numpy as jnp
+
+    from d2slam_tpu.geometry.lie import so3_exp
+    from d2slam_tpu.utils import np_lie
+
+    ext = []
+    for i in range(4):
+        yaw = np.deg2rad(90.0 * i + 1.5)
+        R = np.asarray(so3_exp(jnp.asarray([0.0, yaw, 0.01])))
+        ext.append(np.concatenate(
+            [R @ [0.151, 0.002, 0.149], np_lie.rotmat_to_quat(R)]).tolist())
+    calib = {
+        "cams": [dict(fx=40.0, fy=40.0, cx=40.0, cy=32.0)] * 4,
+        "extrinsics": ext,
+        "out_hw": [32, 48],
+    }
+    out = tmp_path / "stereo.bag"
+    n = generate_stereo_bag(str(p), str(out), calib)
+    assert n == 4
+    r = RosbagReader(str(out))
+    m = [m for _, _, m in r.read_messages(["/virtual_stereo_2/right"])]
+    assert m[0]["image"].shape == (32, 48)
