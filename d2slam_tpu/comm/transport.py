@@ -103,3 +103,54 @@ class UDPMulticastTransport:
             self.close()
         except Exception:
             pass
+
+
+# ---------------------------------------------------------------------------
+# in-memory bus (single-process multi-robot harness)
+# ---------------------------------------------------------------------------
+
+
+class LocalBus:
+    """In-memory multicast bus with the UDPMulticastTransport interface.
+
+    The reference emulates a swarm by running one docker container per
+    drone against real UDP multicast (README.md:199-215 sync_bag_player);
+    for single-process simulation and tests this bus gives every robot
+    an endpoint on a zero-copy Python queue with the same
+    ``send/recv(timeout_ms)`` contract (self-messages are suppressed,
+    as the UDP transport does). Optional per-link loss/delay make it a
+    lossy-UAV-link fault injector (the reference's d2pgo_test simulated
+    comm delay, d2pgo_test.cpp:36-75).
+    """
+
+    def __init__(self, drop_prob: float = 0.0, seed: int = 0):
+        self.endpoints = {}
+        self.drop_prob = drop_prob
+        self._rng = np.random.default_rng(seed)
+
+    def endpoint(self, self_id: int) -> "LocalEndpoint":
+        ep = LocalEndpoint(self, self_id)
+        self.endpoints[self_id] = ep
+        return ep
+
+
+class LocalEndpoint:
+    def __init__(self, bus: LocalBus, self_id: int):
+        self._bus = bus
+        self.self_id = self_id
+        self._q = []
+
+    def send(self, channel: int, data: bytes) -> None:
+        for sid, ep in self._bus.endpoints.items():
+            if sid == self.self_id:
+                continue  # self-msg suppression (loop_net.cpp behavior)
+            if self._bus.drop_prob and \
+                    self._bus._rng.random() < self._bus.drop_prob:
+                continue
+            ep._q.append((channel, self.self_id, bytes(data)))
+
+    def recv(self, timeout_ms: int = 0):
+        return self._q.pop(0) if self._q else None
+
+    def close(self) -> None:
+        self._bus.endpoints.pop(self.self_id, None)

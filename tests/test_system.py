@@ -1,0 +1,169 @@
+"""Integrated per-robot system node: frontend -> VIO -> loop detection
+-> PGO -> comm, single-robot and two-robot (in-memory bus) scenarios.
+
+Mirrors the reference's full-stack composition (d2vins_node +
+d2pgo_node + d2comm per robot, joined by LCM multicast)."""
+import numpy as np
+import pytest
+
+from d2slam_tpu.config import D2Config
+from d2slam_tpu.comm.transport import LocalBus
+from d2slam_tpu.frontend.loop_detector import KeyframeEntry, LoopDetectorConfig
+from d2slam_tpu.runtime.system import D2SLAMSystem, SystemConfig
+from d2slam_tpu.utils.sim import CircleSim
+from d2slam_tpu.vins.types import FrontendFrame
+
+DESC_DIM = 64
+GDESC_DIM = 256
+N_LM = 300
+
+_rng = np.random.default_rng(7)
+DESC_TABLE = _rng.normal(0, 1, (N_LM, DESC_DIM)).astype(np.float32)
+DESC_TABLE /= np.linalg.norm(DESC_TABLE, axis=1, keepdims=True)
+GVEC_TABLE = _rng.normal(0, 1, (N_LM, GDESC_DIM)).astype(np.float32)
+
+
+def bag_gdesc(ids) -> np.ndarray:
+    g = GVEC_TABLE[np.asarray(ids, int)].sum(axis=0)
+    n = np.linalg.norm(g)
+    return (g / n if n > 0 else g).astype(np.float32)
+
+
+def make_entry(ff: FrontendFrame, drone_id: int, pose) -> KeyframeEntry:
+    obs0 = ff.observations[0]
+    ids = np.asarray(obs0.landmark_ids, int)
+    return KeyframeEntry(
+        frame_id=ff.frame_id, drone_id=drone_id, stamp=ff.stamp,
+        pose=np.asarray(pose, np.float64),
+        kpt_rays=np.asarray(obs0.rays, np.float64),
+        kpt_cam=np.zeros(len(ids), np.int32),
+        kpt_desc=DESC_TABLE[ids],
+        kpt_valid=np.ones(len(ids), bool),
+        lm_positions=np.full((len(ids), 3), np.nan),
+    )
+
+
+def make_system(drone_id, sim, transport=None, phase_sim=None, **sys_kw):
+    cfg = D2Config()
+    cfg.estimator.max_sld_win_size = 8
+    cfg.estimator.min_solve_frames = 4
+    cfg.estimator.max_lm_slots = 128
+    cfg.estimator.max_solve_measurements = 512
+    cfg.estimator.max_imu_samples = 128
+    cfg.estimator.max_solver_iters = 5
+    sys_cfg = SystemConfig(
+        drone_id=drone_id, pgo_every_n_kf=6, pgo_max_poses=64,
+        pgo_max_edges=128, pgo_iters=6, **sys_kw,
+    )
+    loop_cfg = LoopDetectorConfig(
+        desc_dim=DESC_DIM, gdesc_dim=GDESC_DIM, netvlad_thres=0.5,
+        min_match_per_dir=10, min_inliers=12, min_gap_frames=6,
+    )
+    return D2SLAMSystem(
+        cfg, sys_cfg, sim.ext, cameras=None,
+        extract_fn=lambda img, cam: None,  # feature-level mode
+        transport=transport, loop_cfg=loop_cfg,
+    )
+
+
+def drive(system, sim, n_frames, hub_peers=(), imu_primed={"": False}):
+    """Feed IMU + feature frames; poll the bus between frames."""
+    for (t, a, g) in sim.imu_samples(-0.3, 0.0):
+        system.input_imu(t, a, g)
+    t_prev = 0.0
+    for k in range(n_frames):
+        t = k / sim.frame_hz
+        if k > 0:
+            for (ts, a, g) in sim.imu_samples(t_prev + 1e-6, t + 1e-6):
+                system.input_imu(ts, a, g)
+        t_prev = t
+        ff = sim.frame(k)
+        pose_hint = system.odometry.pose if system.odometry is not None \
+            else np.array([0, 0, 0, 0, 0, 0, 1.0])
+        entry = make_entry(ff, system.drone_id, pose_hint)
+        system.input_frame(ff, gdesc=bag_gdesc(ff.observations[0].landmark_ids),
+                           kf_entry=entry)
+        for peer in hub_peers:
+            peer.poll_network(now=t)
+
+
+def test_single_robot_system():
+    sim = CircleSim(n_landmarks=N_LM, seed=3)
+    system = make_system(0, sim)
+    drive(system, sim, 18)
+    assert system.estimator.initialized
+    assert system.odometry is not None
+    # PGO ran and produced a trajectory consistent with VIO (no loops
+    # yet -> optimized ~= ego since ego edges dominate)
+    assert system.pgo_solve_count >= 2
+    stamps, opt = system.trajectory()
+    _, ego = system.trajectory(optimized=False)
+    assert len(stamps) >= 10
+    assert np.max(np.linalg.norm(opt[:, :3] - ego[:, :3], axis=1)) < 0.2
+    # PGO-corrected realtime output exists
+    od = system.pgo_odometry()
+    assert od is not None and np.isfinite(od.pose).all()
+
+
+@pytest.mark.slow
+def test_two_robot_swarm_loop_and_alignment():
+    """Two drones on the same circle at different phases exchange
+    keyframes over the in-memory bus; the receiver detects inter-drone
+    loops, aligns maps, and jointly optimizes the pose graph."""
+    bus = LocalBus()
+    sim_a = CircleSim(n_landmarks=N_LM, seed=3, phase=0.0)
+    sim_b = CircleSim(n_landmarks=N_LM, seed=3, phase=0.25)
+    sys_a = make_system(0, sim_a, transport=bus.endpoint(0))
+    sys_b = make_system(1, sim_b, transport=bus.endpoint(1))
+
+    # interleave the two drones frame by frame
+    for s, sim in ((sys_a, sim_a), (sys_b, sim_b)):
+        for (t, a, g) in sim.imu_samples(-0.3, 0.0):
+            s.input_imu(t, a, g)
+    t_prev = 0.0
+    n_frames = 18
+    for k in range(n_frames):
+        t = k / sim_a.frame_hz
+        for s, sim in ((sys_a, sim_a), (sys_b, sim_b)):
+            if k > 0:
+                for (ts, a, g) in sim.imu_samples(t_prev + 1e-6, t + 1e-6):
+                    s.input_imu(ts, a, g)
+            ff = sim.frame(k)
+            pose_hint = s.odometry.pose if s.odometry is not None \
+                else np.array([0, 0, 0, 0, 0, 0, 1.0])
+            s.input_frame(
+                ff, gdesc=bag_gdesc(ff.observations[0].landmark_ids),
+                kf_entry=make_entry(ff, s.drone_id, pose_hint),
+            )
+        t_prev = t
+        sys_a.poll_network(now=t)
+        sys_b.poll_network(now=t)
+
+    assert sys_a.estimator.initialized and sys_b.estimator.initialized
+    # inter-drone loop edges found and map alignment established
+    inter = [e for e in sys_a.loop_edges
+             if e.drone_id_a != e.drone_id_b]
+    assert inter, "no inter-drone loop edges"
+    assert 1 in sys_a.swarm.alignments
+    # drone B's keyframes live in A's pose graph
+    assert any(d == 1 for (d, _, _, _) in sys_a._pgo_meta)
+
+    # joint solve: after alignment + loops, B's trajectory mapped into
+    # A's frame should match B's ground truth (same absolute world),
+    # up to A's own yaw+position gauge (align on A's first keyframe)
+    from d2slam_tpu.utils import np_lie
+
+    sys_a.solve_pgo()
+    stamps_a, ego_a = sys_a.trajectory(drone_id=0, optimized=False)
+    gt_a0, _ = sim_a.gt_pose(stamps_a[0])
+    T_align = np_lie.pose_compose(gt_a0, np_lie.pose_inverse(ego_a[0]))
+
+    stamps_b, opt_b = sys_a.trajectory(drone_id=1)
+    assert len(stamps_b) >= 8
+    errs = []
+    for t, p in zip(stamps_b, opt_b):
+        gt, _ = sim_b.gt_pose(t)
+        pw = np_lie.pose_compose(T_align, p)
+        errs.append(np.linalg.norm(pw[:3] - gt[:3]))
+    rmse = np.sqrt(np.mean(np.square(errs)))
+    assert rmse < 1.0, f"joint-graph RMSE {rmse}"
