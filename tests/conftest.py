@@ -21,3 +21,10 @@ import jax
 # every eager test op round-trips through the TPU tunnel.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Most of the suite's wall time is XLA:CPU compilation of the larger
+# solver programs; persist compiled executables across runs (works for
+# the CPU backend too — same mechanism as the TPU path in bench.py).
+from d2slam_tpu.utils.compile_cache import enable_compilation_cache
+
+enable_compilation_cache(min_compile_secs=0.2)
