@@ -9,10 +9,18 @@ writing only [H, W] outputs. Classic bandwidth-bound -> compute-bound
 conversion (pallas_guide.md: fuse elementwise chains, avoid HBM round
 trips).
 
-Sized for the reference's depth resolution (HitNet runs at 320x240,
-reference quadcam models): a full image + temporaries fit comfortably
-in the ~16 MB VMEM, so the kernel is a single grid step; larger images
-would tile rows with manual halo DMA.
+Subpixel refinement happens *inside* the disparity loop: the kernel
+tracks the cost at the winner's two neighboring disparities (c[d*-1]
+via the previous step's cost, c[d*+1] captured one step after a new
+winner) so the parabolic refinement needs no cost volume at all —
+matching the reference SGBM-path output quality
+(quadcam_depth_est/src/virtual_stereo.cpp estimateDisparityOCV) at
+streaming cost.
+
+Images larger than VMEM tile over rows: the wrapper stacks overlapping
+row bands (vertical halo = block//2) and runs them as a 1-D Pallas
+grid, so a 640x480 or 1280x800 pair streams band-by-band while the
+disparity loop still never touches HBM.
 """
 from __future__ import annotations
 
@@ -24,21 +32,22 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _bm_kernel(left_ref, right_ref, disp_ref, cost_ref, second_ref,
+def _bm_kernel(left_ref, right_ref, disp_ref, best_ref, cost_ref, second_ref,
                *, max_disp: int, block: int, height: int, width: int,
                reverse: bool):
     r = block // 2
-    L = left_ref[:]    # [H + 2r, W] (vertical halo padded by wrapper)
-    R = right_ref[:]
+    L = left_ref[0]    # [Hb + 2r, W] (vertical halo padded by wrapper)
+    R = right_ref[0]
     # pltpu.roll requires non-negative shifts: -s == W - s
     step = (width - 1) if reverse else 1
 
     col = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1)
+    BIG = jnp.float32(1e9)
 
     def body(d, carry):
-        best_c, best_d, second_c, Rshift = carry
+        best_c, best_d, second_c, cm1, cp1, c_prev, Rshift = carry
         sad = jnp.abs(L - Rshift)
-        # vertical box sum over the halo -> [H, W]
+        # vertical box sum over the halo -> [Hb, W]
         vs = jnp.zeros((height, width), jnp.float32)
         for dy in range(block):  # static offsets -> static slices
             vs = vs + sad[dy : dy + height, :]
@@ -52,6 +61,11 @@ def _bm_kernel(left_ref, right_ref, disp_ref, cost_ref, second_ref,
         c = jnp.where(invalid, 1e3, c)
 
         take = c < best_c
+        # neighbor-cost tracking for subpixel: when a new winner is
+        # taken at d, its left-neighbor cost is last step's c; its
+        # right-neighbor cost arrives next step (d == best_d + 1).
+        new_cm1 = jnp.where(take, c_prev, cm1)
+        new_cp1 = jnp.where(take, BIG, jnp.where(best_d + 1 == d, c, cp1))
         far_old = jnp.abs(best_d - d) > 1
         new_second = jnp.where(
             take,
@@ -60,83 +74,133 @@ def _bm_kernel(left_ref, right_ref, disp_ref, cost_ref, second_ref,
         )
         new_best_c = jnp.where(take, c, best_c)
         new_best_d = jnp.where(take, d, best_d)
-        return new_best_c, new_best_d, new_second, pltpu.roll(
-            Rshift, step, axis=1
-        )
+        return (new_best_c, new_best_d, new_second, new_cm1, new_cp1, c,
+                pltpu.roll(Rshift, step, axis=1))
 
     init = (
-        jnp.full((height, width), 1e9, jnp.float32),
-        jnp.zeros((height, width), jnp.int32),
-        jnp.full((height, width), 1e9, jnp.float32),
+        jnp.full((height, width), BIG, jnp.float32),
+        jnp.full((height, width), -2, jnp.int32),
+        jnp.full((height, width), BIG, jnp.float32),
+        jnp.full((height, width), BIG, jnp.float32),
+        jnp.full((height, width), BIG, jnp.float32),
+        jnp.full((height, width), BIG, jnp.float32),
         R,
     )
-    best_c, best_d, second_c, _ = jax.lax.fori_loop(0, max_disp, body, init)
+    best_c, best_d, second_c, cm1, cp1, _, _ = jax.lax.fori_loop(
+        0, max_disp, body, init
+    )
 
-    disp_ref[:] = best_d.astype(jnp.float32)
-    cost_ref[:] = best_c
-    second_ref[:] = second_c
+    # parabolic subpixel from the tracked neighbor costs (only where
+    # both neighbors were observed, i.e. interior winners)
+    have_nb = (cm1 < 0.5 * BIG) & (cp1 < 0.5 * BIG)
+    denom = jnp.maximum(cm1 - 2.0 * best_c + cp1, 1e-6)
+    delta = jnp.clip(0.5 * (cm1 - cp1) / denom, -1.0, 1.0)
+    disp = best_d.astype(jnp.float32) + jnp.where(have_nb, delta, 0.0)
+
+    disp_ref[0] = disp
+    best_ref[0] = best_d
+    cost_ref[0] = best_c
+    second_ref[0] = second_c
+
+
+def _auto_row_tile(H: int, W: int, block: int) -> int:
+    """Pick a row-band height so the kernel working set stays well
+    inside VMEM (~16 MB/core; target <= ~6 MB for double buffering)."""
+    r = block // 2
+    # ~10 live [Hb, W] f32 arrays (L, R/Rshift, sad, vs/hs, 5 carries)
+    budget_rows = int(6e6 / (10 * 4 * max(W, 1)))
+    if H + 2 * r <= max(budget_rows, 64):
+        return H  # single band
+    Hb = max(64, (budget_rows - 2 * r) // 8 * 8)
+    return min(Hb, H)
 
 
 @functools.partial(jax.jit, static_argnames=("max_disp", "block", "reverse",
-                                             "interpret"))
+                                             "row_tile", "interpret"))
 def block_match_disparity_pallas(
     left: jax.Array,   # [H, W] float32
     right: jax.Array,
     max_disp: int = 64,
     block: int = 9,
     reverse: bool = False,
+    row_tile: int | None = None,
     interpret: bool = False,
 ):
-    """Returns (disp [H, W] float32 integer-valued, cost, second_cost).
+    """Returns (disp [H, W] float32 with subpixel, best [H, W] int32,
+    cost, second_cost).
 
+    ``row_tile`` sets the row-band height for tiling (``None`` =
+    auto-size to VMEM; bands overlap by the vertical filter halo).
     ``interpret=True`` runs the Pallas interpreter (CPU tests)."""
     H, W = left.shape
     r = block // 2
-    Lp = jnp.pad(left.astype(jnp.float32), ((r, r), (0, 0)), mode="edge")
-    Rp = jnp.pad(right.astype(jnp.float32), ((r, r), (0, 0)), mode="edge")
+    Hb = row_tile if row_tile is not None else _auto_row_tile(H, W, block)
+    Hb = min(Hb, H)
+    T = -(-H // Hb)  # cdiv
+    Hpad = T * Hb
+
+    Lp = jnp.pad(left.astype(jnp.float32), ((r, r + Hpad - H), (0, 0)),
+                 mode="edge")
+    Rp = jnp.pad(right.astype(jnp.float32), ((r, r + Hpad - H), (0, 0)),
+                 mode="edge")
+    # overlapping row bands [T, Hb + 2r, W]
+    bands_l = jnp.stack([Lp[i * Hb : i * Hb + Hb + 2 * r] for i in range(T)])
+    bands_r = jnp.stack([Rp[i * Hb : i * Hb + Hb + 2 * r] for i in range(T)])
 
     kernel = functools.partial(
-        _bm_kernel, max_disp=max_disp, block=block, height=H, width=W,
+        _bm_kernel, max_disp=max_disp, block=block, height=Hb, width=W,
         reverse=reverse,
     )
     out_shape = [
-        jax.ShapeDtypeStruct((H, W), jnp.float32),
-        jax.ShapeDtypeStruct((H, W), jnp.float32),
-        jax.ShapeDtypeStruct((H, W), jnp.float32),
+        jax.ShapeDtypeStruct((T, Hb, W), jnp.float32),
+        jax.ShapeDtypeStruct((T, Hb, W), jnp.int32),
+        jax.ShapeDtypeStruct((T, Hb, W), jnp.float32),
+        jax.ShapeDtypeStruct((T, Hb, W), jnp.float32),
     ]
-    disp, cost, second = pl.pallas_call(
+    band_spec = pl.BlockSpec(
+        (1, Hb + 2 * r, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (1, Hb, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    disp, best, cost, second = pl.pallas_call(
         kernel,
+        grid=(T,),
         out_shape=out_shape,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        in_specs=[band_spec, band_spec],
+        out_specs=[out_spec] * 4,
         interpret=interpret,
-    )(Lp, Rp)
-    return disp, cost, second
+    )(bands_l, bands_r)
+
+    def unband(x):
+        return x.reshape(Hpad, W)[:H]
+
+    return unband(disp), unband(best), unband(cost), unband(second)
 
 
 def block_match_disparity_fused(
     left, right, max_disp: int = 64, block: int = 9,
     lr_thresh: float = 1.5, uniqueness: float = 0.95,
+    row_tile: int | None = None,
     interpret: bool = False,
 ):
     """Drop-in equivalent of depth.stereo.block_match_disparity built on
-    the Pallas kernel (integer disparity; uniqueness + left-right checks
-    applied in XLA on the kernel outputs)."""
+    the Pallas kernel (subpixel disparity from in-kernel neighbor-cost
+    tracking; uniqueness + left-right checks applied in XLA on the
+    kernel outputs)."""
     H, W = left.shape
-    disp, cost, second = block_match_disparity_pallas(
-        left, right, max_disp, block, reverse=False, interpret=interpret
+    disp, best, cost, second = block_match_disparity_pallas(
+        left, right, max_disp, block, reverse=False, row_tile=row_tile,
+        interpret=interpret,
     )
-    disp_r, _, _ = block_match_disparity_pallas(
-        right, left, max_disp, block, reverse=True, interpret=interpret
+    _, best_r, _, _ = block_match_disparity_pallas(
+        right, left, max_disp, block, reverse=True, row_tile=row_tile,
+        interpret=interpret,
     )
-    best = disp.astype(jnp.int32)
     unique_ok = cost < uniqueness * second
     xs = jnp.arange(W)[None, :].repeat(H, axis=0)
     xr = jnp.clip(xs - best, 0, W - 1)
-    d_r_at = jnp.take_along_axis(disp_r.astype(jnp.int32), xr, axis=1)
+    d_r_at = jnp.take_along_axis(best_r, xr, axis=1)
     lr_ok = jnp.abs(best - d_r_at) <= lr_thresh
     valid = (
         unique_ok & lr_ok & (best > 0) & (best < max_disp - 1)
