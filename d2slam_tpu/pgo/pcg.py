@@ -113,15 +113,15 @@ def _edge_cost(state: PGOState, edges: PGOEdges, dof: int,
 
 def _block_diag_hessian(Ja, Jb, idx_i, idx_j, N: int):
     """[N, dof, dof] diagonal blocks of J^T J via segment sums."""
-    Hi = jnp.einsum("eki,ekj->eij", Ja, Ja)
-    Hj = jnp.einsum("eki,ekj->eij", Jb, Jb)
+    Hi = jnp.einsum("eki,ekj->eij", Ja, Ja, precision="highest")
+    Hj = jnp.einsum("eki,ekj->eij", Jb, Jb, precision="highest")
     return (jax.ops.segment_sum(Hi, idx_i, num_segments=N)
             + jax.ops.segment_sum(Hj, idx_j, num_segments=N))
 
 
 def _grad(r, Ja, Jb, idx_i, idx_j, N: int):
-    gi = jnp.einsum("eki,ek->ei", Ja, r)
-    gj = jnp.einsum("eki,ek->ei", Jb, r)
+    gi = jnp.einsum("eki,ek->ei", Ja, r, precision="highest")
+    gj = jnp.einsum("eki,ek->ei", Jb, r, precision="highest")
     return (jax.ops.segment_sum(gi, idx_i, num_segments=N)
             + jax.ops.segment_sum(gj, idx_j, num_segments=N))
 
@@ -198,13 +198,13 @@ def solve_pgo_pcg(
         damp = lam * diagH + eps
 
         def hvp(v):  # v: [N, dof]
-            u = (jnp.einsum("ekl,el->ek", Ja, v[edges.i])
-                 + jnp.einsum("ekl,el->ek", Jb, v[edges.j]))
+            u = (jnp.einsum("ekl,el->ek", Ja, v[edges.i], precision="highest")
+                 + jnp.einsum("ekl,el->ek", Jb, v[edges.j], precision="highest"))
             out = (jax.ops.segment_sum(
-                       jnp.einsum("ekl,ek->el", Ja, u), edges.i,
+                       jnp.einsum("ekl,ek->el", Ja, u, precision="highest"), edges.i,
                        num_segments=N)
                    + jax.ops.segment_sum(
-                       jnp.einsum("ekl,ek->el", Jb, u), edges.j,
+                       jnp.einsum("ekl,ek->el", Jb, u, precision="highest"), edges.j,
                        num_segments=N))
             return out + damp * v
 
@@ -215,7 +215,7 @@ def solve_pgo_pcg(
         Minv = jnp.linalg.inv(M)
 
         def Minv_apply(v):
-            return jnp.einsum("nkl,nl->nk", Minv, v)
+            return jnp.einsum("nkl,nl->nk", Minv, v, precision="highest")
 
         dx = _pcg(hvp, Minv_apply, -g, cg_iters, cg_rtol)
         dx = dx * free[:, None]

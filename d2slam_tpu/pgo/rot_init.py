@@ -52,7 +52,7 @@ def chordal_rotation_init(
     I3 = jnp.eye(3, dtype=dtype)
 
     # H_aa += A^T A ; H_bb += I ; H_ab -= A^T ; H_ba -= A
-    AtA = jnp.einsum("eij,eik->ejk", A, A) * w_e[:, None, None]
+    AtA = jnp.einsum("eij,eik->ejk", A, A, precision="highest") * w_e[:, None, None]
     At = A.transpose(0, 2, 1) * w_e[:, None, None]
     ii = 3 * edge_i
     jj = 3 * edge_j
@@ -89,6 +89,110 @@ def chordal_rotation_init(
     R_sol = X.reshape(N, 3, 3).transpose(0, 2, 1)
 
     # SVD projection to SO(3)
+    def project(R):
+        U, _, Vt = jnp.linalg.svd(R)
+        det = jnp.linalg.det(U @ Vt)
+        S = jnp.diag(jnp.array([1.0, 1.0, 1.0], dtype)).at[2, 2].set(det)
+        return U @ S @ Vt
+
+    R_proj = jax.vmap(project)(R_sol)
+    q_new = rotmat_to_quat(R_proj)
+    q_out = jnp.where(valid[:, None], q_new, poses[:, 3:])
+    return jnp.concatenate([poses[:, :3], q_out], axis=-1)
+
+
+def chordal_rotation_init_pcg(
+    poses,        # [N, 7] initial poses (rotations may be garbage)
+    valid,        # [N] bool
+    edge_i, edge_j,  # [E] int32
+    rel_q,        # [E, 4] measured relative rotations (xyzw)
+    edge_valid,   # [E] bool
+    fixed_mask,   # [N] bool — rotations held at their current value
+    fix_weight: float = 100.0,
+    cg_iters: int = 150,
+    cg_rtol: float = 1e-7,
+):
+    """Matrix-free variant of ``chordal_rotation_init`` for large graphs.
+
+    Same chordal least squares, but the [3N, 3N] normal matrix is never
+    formed: Hessian-matrix products are batched 3x3 block matvecs over
+    edges with segment-sum scatters, preconditioned block-Jacobi — the
+    O(E)-memory counterpart of the reference's SimplicialLLT sparse
+    solve (reference rotation_initialization_base.hpp:146-176
+    solveLinear). The three row-systems share the operator and are
+    solved jointly (CG on the block RHS with a Frobenius inner product).
+
+    CG is warm-started from the poses' current rotations: with block-
+    Jacobi preconditioning, information travels ~one graph hop per CG
+    step, so solving from zero needs O(graph diameter) iterations before
+    far-from-anchor poses are determined at all. Odometry-chained
+    rotations (the normal SLAM input) make this a local correction that
+    converges in tens of steps regardless of graph size; for truly
+    arbitrary input rotations raise ``cg_iters`` past the diameter.
+    """
+    dtype = poses.dtype
+    N = poses.shape[0]
+
+    A = quat_to_rotmat(rel_q).transpose(0, 2, 1)  # [E, 3, 3] = R_ab^T
+    w_e = (edge_valid & valid[edge_i] & valid[edge_j]).astype(dtype)
+    Aw = A * w_e[:, None, None]
+    AtA = jnp.einsum("eij,eik->ejk", A, Aw, precision="highest")       # [E, 3, 3] w * A^T A
+
+    R0 = quat_to_rotmat(poses[:, 3:])
+    wf = (fixed_mask & valid).astype(dtype) * fix_weight
+    inactive = 1.0 - valid.astype(dtype)
+    diag_w = (wf + inactive + 1e-9)[:, None, None]
+
+    # RHS from fixed-rotation priors; unknown V[n, i, r] = R_n[r, i]
+    b = R0.transpose(0, 2, 1) * wf[:, None, None]  # [N, 3, 3]
+
+    def hvp(V):  # V: [N, 3, 3]
+        Va, Vb = V[edge_i], V[edge_j]
+        out_a = (jnp.einsum("eij,ejr->eir", AtA, Va, precision="highest")
+                 - jnp.einsum("eji,ejr->eir", Aw, Vb, precision="highest"))   # A^T acting
+        out_b = Vb * w_e[:, None, None] - jnp.einsum("eij,ejr->eir", Aw, Va, precision="highest")
+        out = (jax.ops.segment_sum(out_a, edge_i, num_segments=N)
+               + jax.ops.segment_sum(out_b, edge_j, num_segments=N))
+        return out + diag_w * V
+
+    # block-Jacobi preconditioner
+    I3 = jnp.eye(3, dtype=dtype)
+    Hd = (jax.ops.segment_sum(AtA, edge_i, num_segments=N)
+          + jax.ops.segment_sum(
+              w_e[:, None, None] * I3, edge_j, num_segments=N)
+          + diag_w * I3)
+    Minv = jnp.linalg.inv(Hd)
+
+    def Minv_apply(V):
+        return jnp.einsum("nij,njr->nir", Minv, V, precision="highest")
+
+    X = R0.transpose(0, 2, 1)  # warm start from current rotations
+    r = b - hvp(X)
+    z = Minv_apply(r)
+    p = z
+    rz = jnp.sum(r * z)
+    tol2 = (cg_rtol ** 2) * jnp.sum(r * r)  # relative to initial residual
+
+    def step(carry, _):
+        X, r, p, rz, done = carry
+        Ap = hvp(p)
+        alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-30)
+        X2 = X + alpha * p
+        r2 = r - alpha * Ap
+        z2 = Minv_apply(r2)
+        rz2 = jnp.sum(r2 * z2)
+        beta = rz2 / jnp.maximum(rz, 1e-30)
+        p2 = z2 + beta * p
+        done2 = done | (jnp.sum(r2 * r2) < tol2)
+        keep = lambda new, old: jnp.where(done, old, new)
+        return (keep(X2, X), keep(r2, r), keep(p2, p),
+                jnp.where(done, rz, rz2), done2), None
+
+    (X, _, _, _, _), _ = jax.lax.scan(
+        step, (X, r, p, rz, jnp.asarray(False)), None, length=cg_iters
+    )
+    R_sol = X.transpose(0, 2, 1)  # V[n, i, r] -> R_n[r, i]
+
     def project(R):
         U, _, Vt = jnp.linalg.svd(R)
         det = jnp.linalg.det(U @ Vt)

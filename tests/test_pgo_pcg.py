@@ -148,3 +148,72 @@ def test_pcg_large_graph_noisy():
     assert float(rep.final_cost) < 0.05 * float(rep.initial_cost)
     assert err.max() < 0.6 * max(drift.max(), 1e-9), (err.max(), drift.max())
     assert np.median(err) < 0.7 * np.median(drift)
+
+
+def test_chordal_pcg_matches_dense():
+    import jax
+    from d2slam_tpu.geometry.lie import (
+        pose_boxminus,
+        quat_normalize,
+        so3_exp_quat,
+    )
+    from d2slam_tpu.pgo import (
+        chordal_rotation_init,
+        chordal_rotation_init_pcg,
+    )
+    from tests.test_pgo import make_loop_graph
+
+    gt, valid, edges, n = make_loop_graph(rot_noise=0.005)
+    rng = np.random.default_rng(1)
+    bad = np.asarray(gt).copy()
+    for k in range(1, n):
+        bad[k, 3:] = np.asarray(
+            so3_exp_quat(jnp.asarray(rng.normal(0, 1.5, 3)))
+        )
+    fixed = jnp.zeros(LAYOUT.N, bool).at[0].set(True)
+    args = (
+        jnp.asarray(bad, jnp.float64), valid, edges.i, edges.j,
+        quat_normalize(edges.rel[:, 3:]), edges.valid, fixed,
+    )
+    dense = chordal_rotation_init(*args)
+    pcg = chordal_rotation_init_pcg(*args, cg_iters=300, cg_rtol=1e-12)
+    # both recover the graph's rotations; they agree with each other
+    err_gt = np.asarray(jax.vmap(pose_boxminus)(pcg, gt))[:n]
+    assert np.abs(err_gt[:, 3:]).max() < 0.08
+    dq = np.asarray(jax.vmap(pose_boxminus)(pcg, dense))[:n]
+    assert np.abs(dq[:, 3:]).max() < 1e-3, np.abs(dq[:, 3:]).max()
+
+
+def test_chordal_pcg_large():
+    """Drifted rotations (the warm-start contract: CG is a local
+    correction; garbage input needs cg_iters > graph diameter and is
+    covered by the small-graph parity test)."""
+    import jax
+    from d2slam_tpu.geometry.lie import (
+        quat_mul,
+        quat_normalize,
+        so3_exp_quat,
+    )
+    from d2slam_tpu.pgo import chordal_rotation_init_pcg
+
+    layout, gt, valid, edges = make_big_graph(n=3000)
+    rng = np.random.default_rng(2)
+    bad = np.asarray(gt).copy()
+    dq = jax.vmap(so3_exp_quat)(
+        jnp.asarray(rng.normal(0, 0.15, (layout.N - 1, 3)))
+    )
+    bad[1:, 3:] = np.asarray(
+        jax.vmap(quat_mul)(jnp.asarray(gt[1:, 3:]), dq)
+    )
+    fixed = jnp.zeros(layout.N, bool).at[0].set(True)
+    out = chordal_rotation_init_pcg(
+        jnp.asarray(bad, jnp.float32), jnp.asarray(valid), edges.i, edges.j,
+        quat_normalize(edges.rel[:, 3:]), edges.valid, fixed, cg_iters=200,
+    )
+    # per-pose rotation error vs gt via quaternion dot products
+    q_out = np.asarray(out[:, 3:])
+    q_gt = gt[:, 3:]
+    dots = np.abs(np.sum(q_out * q_gt, axis=-1))
+    ang = 2 * np.arccos(np.clip(dots, -1, 1))
+    assert np.median(ang) < 0.02, np.median(ang)
+    assert ang.max() < 0.1, ang.max()
