@@ -166,6 +166,33 @@ def test_trained_hitnet_recovers_disparity():
     assert np.mean(np.abs(inner - d) < 1.0) > 0.9
 
 
+HITNET_Q = HITNET.replace("float32", "float16_quant")
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.exists(HITNET_Q),
+                    reason="reference quantized HitNet onnx absent")
+def test_trained_hitnet_fp16_quant_matches_f32():
+    """The reference's deployed engine variant (fp16-quantized export,
+    models/hitnet_series/hitnet_1x240x320_model_float16_quant.onnx) runs
+    through the same bridge and agrees with the float32 export."""
+    from scipy import ndimage as ndi
+
+    from d2slam_tpu.depth.hitnet import load_trained_hitnet
+
+    a32, p32 = load_trained_hitnet(HITNET)
+    a16, p16 = load_trained_hitnet(HITNET_Q)
+    rng = np.random.RandomState(0)
+    tex = ndi.gaussian_filter(rng.rand(240, 400), 1.2)
+    left = jnp.asarray(tex[:, 32 : 32 + 320], jnp.float32)
+    right = jnp.asarray(tex[:, 44 : 44 + 320], jnp.float32)
+    d32 = np.asarray(a32(p32, left, right))
+    d16 = np.asarray(a16(p16, left, right))
+    diff = np.abs(d32 - d16)
+    assert np.median(diff) < 0.01
+    assert np.percentile(diff, 95) < 0.1
+
+
 # ---------------------------------------------------------------------------
 # round-trip encoder + frontend ONNX adapters (synthetic mini-models)
 # ---------------------------------------------------------------------------
