@@ -61,6 +61,11 @@ class SystemConfig:
     pgo_max_edges: int = 1024
     pgo_pose_dof: int = 6                # PGO_POSE_DOF {4, 6}
     pgo_iters: int = 10
+    # dense | pcg | auto: auto picks the matrix-free PCG solver once the
+    # pose budget outgrows the dense-Jacobian path (pgo/pcg.py)
+    pgo_solver: str = "auto"
+    pgo_pcg_threshold: int = 2048
+    pgo_cg_iters: int = 100
     # ego-motion edge covariance, distance-scaled (reference
     # setupEgoMotionFactors, d2pgo.cpp:468-528)
     ego_pos_cov_per_m: float = 0.01
@@ -390,7 +395,13 @@ class D2SLAMSystem:
         import jax
         import jax.numpy as jnp
 
-        from d2slam_tpu.pgo import PGOEdges, PGOLayout, PGOState, solve_pgo
+        from d2slam_tpu.pgo import (
+            PGOEdges,
+            PGOLayout,
+            PGOState,
+            solve_pgo,
+            solve_pgo_pcg,
+        )
 
         self._kf_since_pgo = 0
         n = len(self._pgo_meta)
@@ -441,10 +452,22 @@ class D2SLAMSystem:
         fixed[0] = True  # gauge: first frame (reference main_id first kf)
 
         if self._pgo_solver is None:
-            self._pgo_solver = jax.jit(
-                lambda s, e, f: solve_pgo(layout, s, e, f,
-                                          max_iters=self.sys.pgo_iters)
+            use_pcg = self.sys.pgo_solver == "pcg" or (
+                self.sys.pgo_solver == "auto"
+                and layout.N > self.sys.pgo_pcg_threshold
             )
+            if use_pcg:
+                self._pgo_solver = jax.jit(
+                    lambda s, e, f: solve_pgo_pcg(
+                        layout, s, e, f, max_iters=self.sys.pgo_iters,
+                        cg_iters=self.sys.pgo_cg_iters,
+                    )
+                )
+            else:
+                self._pgo_solver = jax.jit(
+                    lambda s, e, f: solve_pgo(layout, s, e, f,
+                                              max_iters=self.sys.pgo_iters)
+                )
         state = PGOState(poses=jnp.asarray(poses, jnp.float32),
                          valid=jnp.asarray(v))
         edges = PGOEdges(

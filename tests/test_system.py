@@ -167,3 +167,16 @@ def test_two_robot_swarm_loop_and_alignment():
         errs.append(np.linalg.norm(pw[:3] - gt[:3]))
     rmse = np.sqrt(np.mean(np.square(errs)))
     assert rmse < 1.0, f"joint-graph RMSE {rmse}"
+
+
+def test_single_robot_system_pcg_solver():
+    """pgo_solver="pcg" routes the system node through the matrix-free
+    solver and lands on the same trajectory as the dense path."""
+    sim = CircleSim(n_landmarks=N_LM, seed=3)
+    system = make_system(0, sim, pgo_solver="pcg", pgo_cg_iters=150)
+    drive(system, sim, 18)
+    assert system.pgo_solve_count >= 2
+    stamps, opt = system.trajectory()
+    _, ego = system.trajectory(optimized=False)
+    assert len(stamps) >= 10
+    assert np.max(np.linalg.norm(opt[:, :3] - ego[:, :3], axis=1)) < 0.2
