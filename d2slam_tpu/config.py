@@ -62,9 +62,16 @@ class D2Config:
     estimator: EstimatorConfig = dataclasses.field(default_factory=EstimatorConfig)
     num_cams: int = 2
     dtype: str = "float64"  # float32 on TPU, float64 for CPU parity tests
+    # kalibr camchain YAML with the cameras + imu-cam extrinsics
+    # (reference keys calib_file_path / extrinsic_parameter_type,
+    # d2frontend_params.cpp:333-337)
+    calib_file: Optional[str] = None
+    extrinsic_parameter_type: int = 1
 
     @staticmethod
     def from_yaml(path: str) -> "D2Config":
+        import os
+
         import yaml
 
         with open(path) as f:
@@ -74,7 +81,20 @@ class D2Config:
             for k, v in (raw.get(section) or {}).items():
                 if hasattr(field, k):
                     setattr(field, k, v)
-        for k in ("self_id", "num_cams", "dtype"):
+        for k in ("self_id", "num_cams", "dtype", "calib_file",
+                  "extrinsic_parameter_type"):
             if k in raw:
                 setattr(cfg, k, raw[k])
+        if cfg.calib_file and not os.path.isabs(cfg.calib_file):
+            cfg.calib_file = os.path.join(os.path.dirname(
+                os.path.abspath(path)), cfg.calib_file)
         return cfg
+
+    def load_cameras(self):
+        """Load the kalibr camchain named by ``calib_file`` (list of
+        :class:`d2slam_tpu.geometry.kalibr.KalibrCamera`)."""
+        if not self.calib_file:
+            raise ValueError("config has no calib_file")
+        from d2slam_tpu.geometry.kalibr import load_camchain
+
+        return load_camchain(self.calib_file, self.extrinsic_parameter_type)
