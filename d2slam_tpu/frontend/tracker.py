@@ -72,7 +72,8 @@ class FeatureTracker:
         uses jitted SuperPoint)."""
         self.sp_params = sp_params
         self.sp_cfg = sp_cfg
-        self.cams = cam_params
+        self.cams = cam_params  # PinholeParams or any object with .lift
+        #                         (e.g. geometry.kalibr.KalibrCamera)
         self.cfg = cfg
         self.dt = 1.0 / frame_rate
         if extract_fn is None:
@@ -87,6 +88,16 @@ class FeatureTracker:
         self.last_kf: Dict = {}       # last keyframe data
         self.frame_count = 0
         self.landmark_count = 0
+
+    def _lift(self, cam_idx: int, uv):
+        """Pixels -> unit rays for camera ``cam_idx``; dispatches on the
+        camera object so fisheye chains (KalibrCamera) work alongside
+        bare PinholeParams (reference liftProjective polymorphism)."""
+        cam = self.cams[cam_idx]
+        uv = jnp.asarray(uv, jnp.float32)
+        if hasattr(cam, "lift"):
+            return cam.lift(uv)
+        return pinhole_lift(uv, cam)
 
     # ------------------------------------------------------------------
 
@@ -208,17 +219,13 @@ class FeatureTracker:
         # ---- build FrontendFrame (unit rays via camera lift) ----
         obs = []
         selL = np.flatnonzero(validL)
-        raysL = np.asarray(pinhole_lift(jnp.asarray(kptsL[selL], jnp.float32),
-                                        self.cams[0]))
+        raysL = np.asarray(self._lift(0, kptsL[selL]))
         velL = np.zeros_like(raysL)
         for k, j in enumerate(selL):
             lid = matched_ids[j]
             if lid in prev_pt_of:
                 prev_ray = np.asarray(
-                    pinhole_lift(
-                        jnp.asarray(prev_pt_of[lid][None], jnp.float32),
-                        self.cams[0],
-                    )
+                    self._lift(0, prev_pt_of[lid][None])
                 )[0]
                 velL[k] = (raysL[k] - prev_ray) / self.dt
         obs.append(
@@ -231,10 +238,7 @@ class FeatureTracker:
         )
         selR = np.flatnonzero(okR & validL)
         if len(selR):
-            raysR = np.asarray(
-                pinhole_lift(jnp.asarray(kptsR[idxR[selR]], jnp.float32),
-                             self.cams[1])
-            )
+            raysR = np.asarray(self._lift(1, kptsR[idxR[selR]]))
             obs.append(
                 CameraObservations(
                     cam_id=1,

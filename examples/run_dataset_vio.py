@@ -32,6 +32,11 @@ def main():
     ap.add_argument("--cx", type=float, default=0.0)
     ap.add_argument("--cy", type=float, default=0.0)
     ap.add_argument("--baseline", type=float, default=0.1)
+    ap.add_argument("--camchain", default="", help="kalibr camchain YAML "
+                    "(cameras + imu-cam extrinsics; overrides --fx/--baseline)")
+    ap.add_argument("--extrinsic-type", type=int, default=0,
+                    help="camchain T_cam_imu convention (reference "
+                    "extrinsic_parameter_type; 0 inverts)")
     ap.add_argument("--sp-weights", default="")
     ap.add_argument("--out", default="")
     ap.add_argument("--imu-topic", default="/imu0")
@@ -85,9 +90,18 @@ def main():
         img0 = ds.load_image(ds.frames[0][1][0])
         gt_avail = ds.ground_truth is not None
 
-    # intrinsics: CLI > sensor.yaml > guess from image size
+    # intrinsics: camchain > CLI > sensor.yaml > guess from image size
     H, W = img0.shape[:2]
-    fx = args.fx
+    chain = None
+    if args.camchain:
+        from d2slam_tpu.geometry.kalibr import load_camchain
+
+        chain = load_camchain(args.camchain, args.extrinsic_type)
+        print(f"camchain: {[(c.name, c.model) for c in chain]}")
+        fx = float(getattr(chain[0].params, "fx"))
+        fy, cx, cy = (float(chain[0].params.fy), float(chain[0].params.cx),
+                      float(chain[0].params.cy))
+    fx = args.fx if chain is None else fx
     if not fx:
         calib = (ds.calib.get("cam0") or {}) if ds is not None else {}
         intr = (calib.get("intrinsics") or [])
@@ -105,7 +119,10 @@ def main():
     cfg.estimator.max_imu_samples = 256
     if args.cpu:
         cfg.dtype = "float64"
-    ext = default_extrinsics(args.baseline)
+    if chain is not None:
+        ext = np.stack([c.extrinsic for c in chain[:2]])
+    else:
+        ext = default_extrinsics(args.baseline)
     est = D2Estimator(cfg, ext)
 
     sp_cfg = SuperPointConfig(max_keypoints=200, threshold=1e-4)
@@ -116,7 +133,10 @@ def main():
         sp_params = superpoint_init(jax.random.PRNGKey(0), sp_cfg)
         print("WARNING: random-init SuperPoint (smoke run; pass "
               "--sp-weights for real accuracy)")
-    cams = [PinholeParams.make(fx, fy, cx, cy, dtype=jnp.float32)] * 2
+    if chain is not None:
+        cams = list(chain[:2]) if len(chain) > 1 else [chain[0]] * 2
+    else:
+        cams = [PinholeParams.make(fx, fy, cx, cy, dtype=jnp.float32)] * 2
     if ds is not None:
         frame_dt = (
             (ds.frames[-1][0] - ds.frames[0][0]) / max(len(ds.frames) - 1, 1)
