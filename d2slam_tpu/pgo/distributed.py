@@ -92,7 +92,10 @@ def distributed_pgo_solve(
     common attitude field.
     """
     from d2slam_tpu.geometry.lie import quat_normalize
-    from d2slam_tpu.pgo.rot_init import chordal_rotation_init
+    from d2slam_tpu.pgo.rot_init import (
+        chordal_rotation_init,
+        linear_translation_init,
+    )
 
     poses = state.poses
     if rot_init:
@@ -106,7 +109,13 @@ def distributed_pgo_solve(
             poses, state.valid, edges.i, edges.j,
             quat_normalize(edges.rel[:, 3:]), act, fixed_mask,
         )
-        # average the initialized attitudes across robots
+        # linear position init given the new rotations (reference
+        # solveLinearPose6d after rot-init, RotInit::solve)
+        poses = linear_translation_init(
+            poses, state.valid, edges.i, edges.j, edges.rel[:, :3], act,
+            fixed_mask,
+        )
+        # average the initialized poses across robots
         poses = consensus_average(poses, est_mask, axis_name)
         state = state._replace(poses=poses)
 

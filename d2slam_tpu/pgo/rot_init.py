@@ -203,3 +203,94 @@ def chordal_rotation_init_pcg(
     q_new = rotmat_to_quat(R_proj)
     q_out = jnp.where(valid[:, None], q_new, poses[:, 3:])
     return jnp.concatenate([poses[:, :3], q_out], axis=-1)
+
+
+def linear_translation_init(
+    poses,        # [N, 7] poses with initialized rotations
+    valid,        # [N] bool
+    edge_i, edge_j,  # [E] int32
+    rel_t,        # [E, 3] measured relative translations (frame a)
+    edge_valid,   # [E] bool
+    fixed_mask,   # [N] bool — positions held at their current value
+    fix_weight: float = 100.0,
+    method: str = "dense",   # dense | cg
+    cg_iters: int = 200,
+    cg_rtol: float = 1e-8,
+):
+    """Linear position initialization given rotations (the reference's
+    ``solveLinearPose6d(finetune_rot=false)`` stage,
+    rotation_initialization_base.hpp:217-245, 331-360): per edge the
+    residual ``p_b - p_a - R_a t_ab`` is linear in positions, and fixed
+    frames add prior rows. Because every coefficient block is ±I, the
+    normal matrix is a scalar [N, N] weighted graph Laplacian applied
+    to 3 right-hand-side columns — one small Cholesky (dense path) or a
+    Jacobi-preconditioned CG (matrix-free path for large graphs).
+
+    Returns [N, 7] poses with positions replaced by the LS solution
+    (rotations untouched).
+    """
+    dtype = poses.dtype
+    N = poses.shape[0]
+
+    Ra = quat_to_rotmat(poses[edge_i, 3:])
+    t_world = jnp.einsum("eij,ej->ei", Ra, rel_t)          # R_a t_ab
+    w_e = (edge_valid & valid[edge_i] & valid[edge_j]).astype(dtype)
+
+    wf = (fixed_mask & valid).astype(dtype) * (fix_weight ** 2)
+    inactive = 1.0 - valid.astype(dtype)
+    diag_extra = wf + inactive + 1e-9
+
+    # RHS: edge term scatters -/+ w * t_world; prior term w_f * p0
+    b = (jax.ops.segment_sum(-w_e[:, None] * t_world, edge_i,
+                             num_segments=N)
+         + jax.ops.segment_sum(w_e[:, None] * t_world, edge_j,
+                               num_segments=N)
+         + wf[:, None] * poses[:, :3])
+
+    diag = (jax.ops.segment_sum(w_e, edge_i, num_segments=N)
+            + jax.ops.segment_sum(w_e, edge_j, num_segments=N)
+            + diag_extra)
+
+    if method == "dense":
+        H = jnp.zeros((N, N), dtype)
+        H = H.at[edge_i, edge_j].add(-w_e)
+        H = H.at[edge_j, edge_i].add(-w_e)
+        H = H + jnp.diag(diag)
+        p_new = jax.scipy.linalg.solve(H, b, assume_a="pos")
+    else:
+        def hvp(x):  # x: [N, 3]
+            xa, xb = x[edge_i], x[edge_j]
+            d = w_e[:, None] * (xa - xb)
+            return (jax.ops.segment_sum(d, edge_i, num_segments=N)
+                    + jax.ops.segment_sum(-d, edge_j, num_segments=N)
+                    + diag_extra[:, None] * x)
+
+        Minv = (1.0 / diag)[:, None]
+        x = poses[:, :3]  # warm start
+        r = b - hvp(x)
+        z = Minv * r
+        p = z
+        rz = jnp.sum(r * z)
+        tol2 = (cg_rtol ** 2) * jnp.maximum(jnp.sum(b * b), 1e-30)
+
+        def step(carry, _):
+            x, r, p, rz, done = carry
+            Ap = hvp(p)
+            alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-30)
+            x2 = x + alpha * p
+            r2 = r - alpha * Ap
+            z2 = Minv * r2
+            rz2 = jnp.sum(r2 * z2)
+            beta = rz2 / jnp.maximum(rz, 1e-30)
+            p2 = z2 + beta * p
+            done2 = done | (jnp.sum(r2 * r2) < tol2)
+            keep = lambda new, old: jnp.where(done, old, new)
+            return (keep(x2, x), keep(r2, r), keep(p2, p),
+                    jnp.where(done, rz, rz2), done2), None
+
+        (x, _, _, _, _), _ = jax.lax.scan(
+            step, (x, r, p, rz, jnp.asarray(False)), None, length=cg_iters)
+        p_new = x
+
+    p_out = jnp.where(valid[:, None], p_new, poses[:, :3])
+    return jnp.concatenate([p_out, poses[:, 3:]], axis=-1)

@@ -156,3 +156,36 @@ def test_predicted_odometry():
     pred = predicted_odometry(opt, ego0, ego_now)
     expect = pose_compose(opt, delta)
     np.testing.assert_allclose(np.asarray(pred), np.asarray(expect), atol=1e-12)
+
+
+def test_linear_translation_init():
+    """solveLinearPose6d(finetune_rot=false) equivalent: with rotations
+    from chordal init, positions come from one linear Laplacian solve
+    (reference rotation_initialization_base.hpp:217-245)."""
+    from d2slam_tpu.pgo import linear_translation_init
+
+    gt, valid, edges, n = make_loop_graph(odo_noise=0.005, rot_noise=0.002)
+    init = accumulate_odometry(gt, edges, n)
+    drift0 = np.abs(np.asarray(init)[:n, :3] - np.asarray(gt)[:n, :3]).max()
+    assert drift0 > 0.1
+
+    # rotations via chordal init, then positions linearly
+    fixed = jnp.zeros(LAYOUT.N, bool).at[0].set(True)
+    rot = chordal_rotation_init(
+        init, valid, edges.i, edges.j,
+        quat_normalize(edges.rel[:, 3:]), edges.valid, fixed,
+    )
+    for method in ("dense", "cg"):
+        out = linear_translation_init(
+            rot, valid, edges.i, edges.j, edges.rel[:, :3], edges.valid,
+            fixed, method=method)
+        err = np.abs(np.asarray(out)[:n, :3] - np.asarray(gt)[:n, :3]).max()
+        assert err < 0.05, f"{method}: pos err {err}"
+
+    # dense and matrix-free paths agree
+    d = linear_translation_init(rot, valid, edges.i, edges.j,
+                                edges.rel[:, :3], edges.valid, fixed)
+    c = linear_translation_init(rot, valid, edges.i, edges.j,
+                                edges.rel[:, :3], edges.valid, fixed,
+                                method="cg", cg_iters=400, cg_rtol=1e-12)
+    assert np.abs(np.asarray(d)[:n, :3] - np.asarray(c)[:n, :3]).max() < 1e-5
