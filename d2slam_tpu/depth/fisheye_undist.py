@@ -14,11 +14,32 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from d2slam_tpu.geometry import cameras as _cam
 from d2slam_tpu.geometry.cameras import KBParams, kb_project
+
+_PROJECT_OF = {
+    _cam.KBParams: _cam.kb_project,
+    _cam.MEIParams: _cam.mei_project,
+    _cam.PinholeParams: _cam.pinhole_project,
+    _cam.PinholeFullParams: _cam.pinhole_full_project,
+    _cam.CylindricalParams: _cam.cylindrical_project,
+    _cam.ScaramuzzaParams: _cam.scaramuzza_project,
+    _cam.PolyFisheyeParams: _cam.polyfisheye_project,
+}
+
+
+def _project(camera, rays):
+    """Dispatch rays -> (uv, valid) for any camera parameter struct or
+    an object with a .project method (geometry.kalibr.KalibrCamera) —
+    the reference builds remap tables 'from any camodocal model'
+    (fisheye_undistort.h:30-200)."""
+    if hasattr(camera, "project"):
+        return camera.project(rays)
+    return _PROJECT_OF[type(camera)](rays, camera)
 
 
 def build_undistort_map(
-    fisheye: KBParams,
+    fisheye,                        # camera param struct or KalibrCamera
     R_fisheye_virtual: jax.Array,   # [3, 3] rotation virtual->fisheye cam
     out_hw,                         # (H, W) of the virtual pinhole image
     virtual_fov_deg: float = 90.0,
@@ -36,7 +57,7 @@ def build_undistort_map(
     )
     rays = rays / jnp.linalg.norm(rays, axis=-1, keepdims=True)
     rays_fish = rays @ R_fisheye_virtual.T
-    uv, valid = kb_project(rays_fish, fisheye)
+    uv, valid = _project(fisheye, rays_fish)
     uv = jnp.where(valid[..., None], uv, -1.0)
     return uv, f
 

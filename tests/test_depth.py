@@ -106,3 +106,29 @@ def test_remap_photometric_correction():
     np.testing.assert_allclose(np.asarray(out[:15, :15]), 1.0, atol=1e-6)
     out_plain = remap_bilinear(img, m)
     np.testing.assert_allclose(np.asarray(out_plain[:15, :15]), 0.5, atol=1e-6)
+
+
+def test_undistort_map_omni_camera():
+    """build_undistort_map accepts any camera model (reference
+    FisheyeUndist works on any camodocal camera): an omni/MEI camera's
+    remap positions must lift back to the virtual pinhole rays."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from d2slam_tpu.depth.fisheye_undist import build_undistort_map
+    from d2slam_tpu.geometry.cameras import MEIParams, mei_lift
+
+    mei = MEIParams.make(1.8, 530.0, 530.0, 256.0, 256.0,
+                         k1=-0.06, k2=0.17, dtype=jnp.float32)
+    R = jnp.eye(3, dtype=jnp.float32)
+    map_xy, f = build_undistort_map(mei, R, (64, 64), virtual_fov_deg=80.0)
+    m = np.asarray(map_xy)
+    ok = (m[..., 0] >= 0)
+    assert ok.mean() > 0.9
+    # lift sampled fisheye pixels back: must match the virtual rays
+    ys, xs = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+    rays_v = np.stack([(xs - 32.0) / float(f), (ys - 32.0) / float(f),
+                       np.ones_like(xs, np.float64)], axis=-1)
+    rays_v /= np.linalg.norm(rays_v, axis=-1, keepdims=True)
+    lifted = np.asarray(mei_lift(jnp.asarray(m[ok], jnp.float32), mei))
+    assert np.abs(lifted - rays_v[ok]).max() < 1e-3
