@@ -22,6 +22,12 @@ Ba/Bg and sld_win_status, reference d2frontend_types.h:85-527):
   n_imu u16 | per-sample: t f64 | acc f32[3] | gyr f32[3] |
   n_sld u16 | sld_win i64[n_sld]
 Version-1 packets decode with an empty state block.
+
+Version 3 appends the sender's reference frame id (i32) — the world
+frame this packet's poses are expressed in (reference
+D2BaseFrame::reference_frame_id; receivers merge maps toward the lower
+id, d2estimator.cpp:274-281). Older packets decode with
+ref_frame_id == drone_id (every drone starts as its own reference).
 """
 from __future__ import annotations
 
@@ -31,7 +37,7 @@ from typing import NamedTuple, Optional
 import numpy as np
 
 MAGIC = 0xD25A11A7
-VERSION = 2
+VERSION = 3
 _HDR = struct.Struct("<IHHqdBHHH")
 _Z3 = np.zeros(3, np.float32)
 
@@ -56,6 +62,8 @@ class RemoteKeyframePacket(NamedTuple):
     imu_acc: np.ndarray = np.zeros((0, 3), np.float32)  # [S, 3]
     imu_gyr: np.ndarray = np.zeros((0, 3), np.float32)  # [S, 3]
     sld_win: np.ndarray = np.zeros(0, np.int64)  # sender's window frame ids
+    # --- v3: world frame these poses live in (merge toward lower id) ---
+    ref_frame_id: int = -1
 
 
 def _quant(v: np.ndarray):
@@ -104,6 +112,9 @@ def encode_keyframe(pkt: RemoteKeyframePacket) -> bytes:
         out.append(np.asarray(pkt.imu_gyr[k], np.float32).tobytes())
     out.append(struct.pack("<H", len(pkt.sld_win)))
     out.append(np.asarray(pkt.sld_win, np.int64).tobytes())
+    # v3 reference frame id
+    ref = pkt.ref_frame_id if pkt.ref_frame_id >= 0 else pkt.drone_id
+    out.append(struct.pack("<i", int(ref)))
     return b"".join(out)
 
 
@@ -113,7 +124,7 @@ def decode_keyframe(buf: bytes) -> Optional[RemoteKeyframePacket]:
     magic, ver, drone_id, frame_id, stamp, is_kf, n, G, D = _HDR.unpack_from(
         buf, 0
     )
-    if magic != MAGIC or ver not in (1, 2):
+    if magic != MAGIC or ver not in (1, 2, 3):
         return None
     off = _HDR.size
     pose = np.frombuffer(buf, np.float32, 7, off).copy()
@@ -161,10 +172,47 @@ def decode_keyframe(buf: bytes) -> Optional[RemoteKeyframePacket]:
             imu_gyr[k] = np.frombuffer(buf, np.float32, 3, off); off += 12
         (n_sld,) = struct.unpack_from("<H", buf, off); off += 2
         sld_win = np.frombuffer(buf, np.int64, n_sld, off).copy()
+        off += 8 * n_sld
+    ref_frame_id = drone_id
+    if ver >= 3:
+        (ref_frame_id,) = struct.unpack_from("<i", buf, off); off += 4
     return RemoteKeyframePacket(
         drone_id=drone_id, frame_id=frame_id, stamp=stamp,
         is_keyframe=bool(is_kf), pose=pose, gdesc=gdesc,
         lm_ids=lm_ids, lm_cam=lm_cam, lm_rays=lm_rays, lm_vels=lm_vels,
         lm_desc=lm_desc, ba=ba, bg=bg, vel=vel,
         imu_t=imu_t, imu_acc=imu_acc, imu_gyr=imu_gyr, sld_win=sld_win,
+        ref_frame_id=ref_frame_id,
     )
+
+
+# ---------------------------------------------------------------------------
+# loop edges (SWARM_LOOP_CONN channel)
+# ---------------------------------------------------------------------------
+
+_LOOP = struct.Struct("<IHqqHHffi")
+_LOOP_MAGIC = 0xD25A100F
+
+
+def encode_loop_edge(frame_id_a: int, frame_id_b: int, drone_id_a: int,
+                     drone_id_b: int, rel_pose: np.ndarray, pos_cov: float,
+                     yaw_cov: float, inliers: int) -> bytes:
+    """Wire format of one loop edge (reference LoopEdge_t on
+    SWARM_LOOP_CONN, loop_net.cpp:10-22: relative pose + covariance so
+    every robot's PGO can add the edge)."""
+    return _LOOP.pack(
+        _LOOP_MAGIC, 1, frame_id_a, frame_id_b, drone_id_a, drone_id_b,
+        pos_cov, yaw_cov, inliers,
+    ) + np.asarray(rel_pose, np.float32).tobytes()
+
+
+def decode_loop_edge(buf: bytes):
+    """Returns (frame_id_a, frame_id_b, drone_id_a, drone_id_b,
+    rel_pose[7], pos_cov, yaw_cov, inliers) or None."""
+    if len(buf) < _LOOP.size + 28:
+        return None
+    magic, ver, fa, fb, da, db, pc, yc, inl = _LOOP.unpack_from(buf, 0)
+    if magic != _LOOP_MAGIC or ver != 1:
+        return None
+    rel = np.frombuffer(buf, np.float32, 7, _LOOP.size).astype(np.float64)
+    return fa, fb, da, db, rel, pc, yc, inl

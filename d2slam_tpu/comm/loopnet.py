@@ -35,6 +35,7 @@ from d2slam_tpu.comm.codec import (
     encode_keyframe,
 )
 from d2slam_tpu.comm.transport import (
+    CH_SWARM_LOOP,
     CH_VIOKF_HEADER,
     CH_VIOKF_LANDMARKS,
 )
@@ -88,6 +89,25 @@ class LoopNet:
         # header gate: return True to pull the full frame
         self.want_full: Optional[
             Callable[[RemoteKeyframePacket], bool]] = None
+        # loop edges from peers (SWARM_LOOP_CONN): receives the decoded
+        # tuple (fid_a, fid_b, drone_a, drone_b, rel[7], pos_cov,
+        # yaw_cov, inliers)
+        self.on_loop_edge: Optional[Callable[[tuple], None]] = None
+
+    def broadcast_loop_edge(self, frame_id_a: int, frame_id_b: int,
+                            drone_id_a: int, drone_id_b: int,
+                            rel_pose, pos_cov: float, yaw_cov: float,
+                            inliers: int) -> None:
+        """Share a detected loop with the swarm (reference
+        SWARM_LOOP_CONN channel, loop_net.cpp:10-22 — every robot's PGO
+        adds all loops it hears about)."""
+        from d2slam_tpu.comm.codec import encode_loop_edge
+
+        data = encode_loop_edge(frame_id_a, frame_id_b, drone_id_a,
+                                drone_id_b, rel_pose, pos_cov, yaw_cov,
+                                inliers)
+        self.sent_bytes += len(data)
+        self.transport.send(CH_SWARM_LOOP, data)
 
     # ------------------------------------------------------------------
 
@@ -157,6 +177,12 @@ class LoopNet:
                 self._pending.pop((pkt.drone_id, int(pkt.frame_id)), None)
                 if self.on_keyframe is not None:
                     self.on_keyframe(pkt)
+            elif ch == CH_SWARM_LOOP:
+                from d2slam_tpu.comm.codec import decode_loop_edge
+
+                dec = decode_loop_edge(payload)
+                if dec is not None and self.on_loop_edge is not None:
+                    self.on_loop_edge(dec)
             elif ch == CH_KF_REQUEST and len(payload) >= _REQ.size:
                 req, owner, fid = _REQ.unpack_from(payload, 0)
                 if owner != self.self_id:

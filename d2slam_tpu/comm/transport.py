@@ -106,6 +106,75 @@ class UDPMulticastTransport:
 
 
 # ---------------------------------------------------------------------------
+# channel routing (one socket, many consumers)
+# ---------------------------------------------------------------------------
+
+
+class ChannelRouter:
+    """Demultiplex one transport across several consumers by channel.
+
+    The reference gives every module its own LCM subscription on one
+    multicast socket (loop_net.cpp:10-22, d2vins_net.cpp:8-27,
+    d2comm.cpp:14-23 all share udpm://224.0.0.251:7667); our raw
+    transport exposes a single ``recv`` queue, so a consensus solver
+    draining it would steal keyframe packets meant for the LoopNet and
+    vice versa. ``route(channels)`` returns an endpoint whose ``recv``
+    only yields those channels — messages for other routes are queued
+    for their owners, never dropped.
+
+    Single-threaded per robot (each robot's modules run on its own
+    thread, like the reference's per-node LCM handler thread).
+    """
+
+    def __init__(self, transport):
+        self.transport = transport
+        self._routes: list = []
+
+    def route(self, channels) -> "RoutedEndpoint":
+        ep = RoutedEndpoint(self, frozenset(channels))
+        self._routes.append(ep)
+        return ep
+
+    def _pump(self, timeout_ms: int) -> bool:
+        msg = self.transport.recv(timeout_ms=timeout_ms)
+        if msg is None:
+            return False
+        ch = msg[0]
+        for ep in self._routes:
+            if ch in ep.channels:
+                ep._q.append(msg)
+                return True
+        return True  # consumed (no subscriber -> dropped, like LCM)
+
+    def close(self) -> None:
+        self.transport.close()
+
+
+class RoutedEndpoint:
+    def __init__(self, router: ChannelRouter, channels: frozenset):
+        self._router = router
+        self.channels = channels
+        self._q: list = []
+
+    def send(self, channel: int, data: bytes) -> None:
+        self._router.transport.send(channel, data)
+
+    def recv(self, timeout_ms: int = 0):
+        import time as _time
+
+        deadline = _time.monotonic() + timeout_ms / 1000.0
+        while True:
+            if self._q:
+                return self._q.pop(0)
+            remain_ms = int((deadline - _time.monotonic()) * 1000)
+            if not self._router._pump(max(remain_ms, 0)) and remain_ms <= 0:
+                return None
+
+    def close(self) -> None:  # routes share the socket; owner closes it
+        pass
+
+
+# ---------------------------------------------------------------------------
 # in-memory bus (single-process multi-robot harness)
 # ---------------------------------------------------------------------------
 

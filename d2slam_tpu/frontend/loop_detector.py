@@ -59,12 +59,20 @@ class KeyframeEntry(NamedTuple):
     kpt_desc: np.ndarray      # [K, D]
     kpt_valid: np.ndarray     # [K]
     lm_positions: np.ndarray  # [K, 3] world landmark positions (nan if none)
+    lm_ids: np.ndarray = np.zeros(0, np.int64)  # [K] landmark ids (for
+    #                           cross-drone unification; empty = unknown)
 
 
 class LoopDetector:
-    def __init__(self, cfg: LoopDetectorConfig, extrinsics: np.ndarray):
+    def __init__(self, cfg: LoopDetectorConfig, extrinsics: np.ndarray,
+                 matcher_fn=None):
+        """matcher_fn: optional learned matcher ``f(desc_a, rays_a,
+        valid_a, desc_b, rays_b, valid_b) -> (idx, ok)`` replacing the
+        nearest-neighbor descriptor matching (reference
+        enable_superglue_remote; wire frontend.superglue here)."""
         self.cfg = cfg
         self.ext = np.asarray(extrinsics)
+        self.matcher_fn = matcher_fn
         self.entries: List[KeyframeEntry] = []
         self.gdesc = np.zeros((cfg.max_db, cfg.gdesc_dim), np.float32)
         self.valid = np.zeros(cfg.max_db, bool)
@@ -105,12 +113,34 @@ class LoopDetector:
         old = self.entries[best]
 
         # descriptor matching new->old
-        midx, mok = match_descriptors(
-            jnp.asarray(entry.kpt_desc, jnp.float32),
-            jnp.asarray(old.kpt_desc, jnp.float32),
-            jnp.asarray(entry.kpt_valid), jnp.asarray(old.kpt_valid),
-        )
+        if self.matcher_fn is not None:
+            midx, mok = self.matcher_fn(
+                entry.kpt_desc, entry.kpt_rays, entry.kpt_valid,
+                old.kpt_desc, old.kpt_rays, old.kpt_valid,
+            )
+        else:
+            midx, mok = match_descriptors(
+                jnp.asarray(entry.kpt_desc, jnp.float32),
+                jnp.asarray(old.kpt_desc, jnp.float32),
+                jnp.asarray(entry.kpt_valid), jnp.asarray(old.kpt_valid),
+            )
         midx, mok = np.asarray(midx), np.asarray(mok)
+
+        # multi-direction assembly (quadcam): keep only matches whose
+        # camera-index offset agrees with the dominant direction shift
+        # between the two rigs (reference
+        # computeCorrespondFeaturesOnImageArray matches direction pairs
+        # (da+k, db+k), loop_detector.cpp:443-537)
+        n_views = int(max(entry.kpt_cam.max(initial=0),
+                          old.kpt_cam.max(initial=0))) + 1
+        if n_views > 1 and mok.any():
+            sel0 = np.flatnonzero(mok)
+            offs = (np.asarray(old.kpt_cam)[midx[sel0]]
+                    - np.asarray(entry.kpt_cam)[sel0]) % n_views
+            dominant = np.bincount(offs, minlength=n_views).argmax()
+            mok = mok.copy()
+            mok[sel0[offs != dominant]] = False
+
         if mok.sum() < self.cfg.min_match_per_dir:
             return None
 

@@ -66,6 +66,18 @@ class IMUBuffer:
     def mean_gyro(self) -> np.ndarray:
         return self._gyr[: self._n].mean(axis=0)
 
+    def samples_between(
+        self, t0: float, t1: float
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Raw samples with t0 < t <= t1 as (ts, accs, gyrs) — the
+        payload of the keyframe wire packet's IMU block (reference
+        VisualImageDescArray imu_buf, d2frontend_types.h:85-527)."""
+        ts = self._t[: self._n]
+        i0 = int(np.searchsorted(ts, t0, side="right"))
+        i1 = int(np.searchsorted(ts, t1, side="right"))
+        return (ts[i0:i1].copy(), self._acc[i0:i1].copy(),
+                self._gyr[i0:i1].copy())
+
     def period(
         self, t0: float, t1: float, pad_to: int
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:

@@ -75,6 +75,31 @@ class SystemConfig:
     gdesc_dim: int = 1024
     lazy_broadcast: bool = False         # lazy_broadcast_keyframe
     broadcast: bool = True               # send keyframes when transport set
+    # reference ESTIMATION_MODE (d2basetypes.h): "single" solves only
+    # our own window; "distributed" is DISTRIBUTED_CAMERA_CONSENUS —
+    # remote keyframes join our window (addFrameRemote) and every solve
+    # runs consensus-ADMM sub-steps with the peers, shared poses
+    # matched by frame id on the wire
+    estimation_mode: str = "single"
+    max_drones: int = 3
+    consensus_timeout_ms: int = 100
+    # ingest remote frames before a map alignment exists (true when the
+    # swarm is launched with a shared world frame, e.g. common takeoff
+    # calibration; otherwise frames wait for the first inter-drone loop)
+    assume_common_world: bool = False
+    # transport-based distributed PGO: ARock rounds over CH_PGO_DATA
+    # (reference ARockPGO -> d2comm -> PGO_Sync_Data). When on,
+    # solve_pgo runs the distributed path instead of the local solver.
+    enable_dpgo: bool = False
+    dpgo_rho_T: float = 0.1              # pgo_rho_frame_T
+    dpgo_rho_theta: float = 2.0          # pgo_rho_frame_theta
+    dpgo_eta_k: float = 0.9              # pgo_eta_k
+    dpgo_iters: int = 6
+    broadcast_loops: bool = True         # share loops on SWARM_LOOP_CONN
+    # nearby-drone gate for lazy-mode full-frame escalation (reference
+    # getNearbyDronesbyPGOData, d2estimator.cpp:931-976)
+    nearby_distance: float = 5.0
+    nearby_max_age: float = 10.0
 
 
 def image_embedding_gdesc(img: np.ndarray, dim: int = 1024) -> np.ndarray:
@@ -134,11 +159,20 @@ class D2SLAMSystem:
         tracker_cfg: Optional[TrackerConfig] = None,
         loop_cfg: Optional[LoopDetectorConfig] = None,
         frame_rate: float = 8.0,
+        matcher_fn=None,
+        loop_matcher_fn=None,
     ):
         self.cfg = cfg
         self.sys = sys_cfg
         self.ext = np.asarray(extrinsics, np.float64)
         self.drone_id = sys_cfg.drone_id
+        # the world frame our poses live in; starts as our own drone id
+        # and merges toward the lowest id in the swarm (reference
+        # D2State reference_frame_id + moveAllPoses map merge,
+        # d2estimator.cpp:274-281)
+        self.ref_frame_id = (
+            0 if sys_cfg.assume_common_world else self.drone_id
+        )
 
         if sp_cfg is None:
             from d2slam_tpu.frontend.superpoint import SuperPointConfig
@@ -147,25 +181,91 @@ class D2SLAMSystem:
         self.tracker = FeatureTracker(
             sp_params, sp_cfg, cameras,
             tracker_cfg or TrackerConfig(), frame_rate=frame_rate,
-            extract_fn=extract_fn,
+            extract_fn=extract_fn, extrinsics=self.ext,
+            matcher_fn=matcher_fn,
         )
-        self.estimator = D2Estimator(cfg, self.ext)
         self.gdesc_fn = gdesc_fn or (
             lambda img: image_embedding_gdesc(img, sys_cfg.gdesc_dim)
         )
 
         lc = loop_cfg or LoopDetectorConfig(gdesc_dim=sys_cfg.gdesc_dim)
-        self.detector = LoopDetector(lc, self.ext)
+        self.detector = LoopDetector(lc, self.ext,
+                                     matcher_fn=loop_matcher_fn)
         self.swarm = SwarmManager(self.drone_id, self.detector)
 
-        self.loopnet = None
-        if transport is not None:
-            from d2slam_tpu.comm.loopnet import LoopNet
+        if sys_cfg.estimation_mode == "distributed":
+            from d2slam_tpu.vins.solve_all import SolveAllEstimator
+            from d2slam_tpu.vins.types import global_frame_id
 
+            cfg.self_id = self.drone_id
+
+            def lm_key(d: int, lid: int) -> int:
+                od, oid = self.swarm.unified_id(d, lid)
+                # collapse to OUR raw id when unified with a local
+                # landmark so own + remote observations fuse in the
+                # pool (reference trackRemote landmark-ID unification)
+                return oid if od == self.drone_id else global_frame_id(od, oid)
+
+            self.estimator = SolveAllEstimator(
+                cfg, self.ext, max_drones=sys_cfg.max_drones,
+                lm_id_map=lm_key,
+            )
+        else:
+            self.estimator = D2Estimator(cfg, self.ext)
+
+        self.loopnet = None
+        self.dpgo = None
+        self._last_bcast_t: float = 0.0
+        if transport is not None:
+            from d2slam_tpu.comm.consensus_transport import TransportConsensus
+            from d2slam_tpu.comm.loopnet import CH_KF_REQUEST, LoopNet
+            from d2slam_tpu.comm.transport import (
+                CH_DISTRIB_VINS,
+                CH_PGO_DATA,
+                CH_SWARM_LOOP,
+                CH_VIOKF_HEADER,
+                CH_VIOKF_LANDMARKS,
+                ChannelRouter,
+            )
+
+            router = ChannelRouter(transport)
             self.loopnet = LoopNet(
-                transport, self.drone_id, lazy=sys_cfg.lazy_broadcast
+                router.route(
+                    {CH_VIOKF_HEADER, CH_VIOKF_LANDMARKS, CH_KF_REQUEST,
+                     CH_SWARM_LOOP}
+                ),
+                self.drone_id, lazy=sys_cfg.lazy_broadcast,
             )
             self.loopnet.on_keyframe = self._on_remote_keyframe
+            self.loopnet.on_loop_edge = self._on_loop_edge_msg
+            if sys_cfg.enable_dpgo:
+                from d2slam_tpu.pgo.dpgo_transport import (
+                    DPGOTransportConfig,
+                    TransportDPGO,
+                )
+
+                self.dpgo = TransportDPGO(
+                    router.route({CH_PGO_DATA}), self.drone_id,
+                    DPGOTransportConfig(
+                        max_poses=sys_cfg.pgo_max_poses,
+                        max_edges=sys_cfg.pgo_max_edges,
+                        max_anchors=sys_cfg.pgo_max_poses,
+                        rho_T=sys_cfg.dpgo_rho_T,
+                        rho_theta=sys_cfg.dpgo_rho_theta,
+                        eta_k=sys_cfg.dpgo_eta_k,
+                        iters_per_step=sys_cfg.dpgo_iters,
+                    ),
+                    ref_frame_id=self.ref_frame_id,
+                )
+            if sys_cfg.estimation_mode == "distributed":
+                self.estimator.attach_consensus(
+                    TransportConsensus(
+                        router.route({CH_DISTRIB_VINS}), self.drone_id,
+                        ref_frame_id=self.ref_frame_id,
+                    ),
+                    expected_peers=sys_cfg.max_drones - 1,
+                    timeout_ms=sys_cfg.consensus_timeout_ms,
+                )
 
         # ---- PGO graph bookkeeping (host side) ----
         # (drone_id, frame_id) -> pose slot
@@ -175,6 +275,9 @@ class D2SLAMSystem:
         self._last_kf_of: Dict[int, int] = {}  # drone -> last slot
         self._ego_edges: List[Tuple[int, int, np.ndarray, float]] = []
         self.loop_edges: List[LoopEdge] = []
+        self._loop_keys: set = set()          # dedup (a, b) loop pairs
+        self._dpgo_ego_synced = 0             # ego edges pushed to dpgo
+        self._dpgo_loops_added: set = set()   # loop pairs pushed to dpgo
         self._pgo_poses: Optional[np.ndarray] = None  # optimized [N, 7]
         self._pgo_solver = None
         self._kf_since_pgo = 0
@@ -207,6 +310,22 @@ class D2SLAMSystem:
         if od is not None:
             self.odometry = od
             self._register_keyframe(ff, od, img_left)
+        return od
+
+    def input_quadcam(self, t: float, imgs: List[np.ndarray]
+                      ) -> Optional[Odometry]:
+        """Process one 4-view (FOURCORNER_FISHEYE) frame. ``imgs`` are
+        the undistorted virtual-pinhole views (run raw fisheyes through
+        depth.fisheye_undist first, as the reference's FisheyeUndist
+        does before tracking)."""
+        ff = self.tracker.process_quadcam(t, self._frame_id, imgs)
+        self._frame_id += 1
+        if ff is None:
+            return None
+        od = self.estimator.input_frame(ff)
+        if od is not None:
+            self.odometry = od
+            self._register_keyframe(ff, od, imgs[0])
         return od
 
     def input_frame(self, ff: FrontendFrame,
@@ -248,10 +367,19 @@ class D2SLAMSystem:
                 entry = self._make_entry(ff, pose)
             else:
                 # refresh caller-provided entries with the post-solve
-                # pose and current landmark estimates
+                # pose and current landmark estimates (ids from the
+                # entry when it carries them, else cam0 order)
+                if len(entry.lm_ids) == len(entry.kpt_valid):
+                    ids = [int(i) for i in entry.lm_ids]
+                else:
+                    obs0 = next(
+                        (o for o in ff.observations if o.cam_id == 0), None
+                    )
+                    ids = ([int(i) for i in obs0.landmark_ids]
+                           if obs0 is not None else [])
                 entry = entry._replace(
                     pose=pose,
-                    lm_positions=self._lm_positions_of(ff),
+                    lm_positions=self._lm_positions_of(ff, ids),
                 )
             if entry is not None:
                 edge = self.detector.detect(entry, gdesc)
@@ -262,7 +390,13 @@ class D2SLAMSystem:
         if self.loopnet is not None and self.sys.broadcast:
             pkt = self._make_packet(ff, pose, gdesc, entry)
             if pkt is not None:
-                self.loopnet.broadcast_keyframe(pkt)
+                # lazy-mode escalation: drones the PGO graph says are
+                # near get the full frame so their VIO can fuse it
+                # (reference getNearbyDronesbyPGOData +
+                # d2vins_node.cpp:177-199 broadcast logic)
+                nearby = (self.nearby_drones(ff.stamp)
+                          if self.sys.lazy_broadcast else None)
+                self.loopnet.broadcast_keyframe(pkt, nearby_drones=nearby)
 
         self._kf_since_pgo += 1
         if (self.sys.enable_pgo
@@ -272,40 +406,43 @@ class D2SLAMSystem:
 
     def _make_entry(self, ff: FrontendFrame,
                     pose: np.ndarray) -> Optional[KeyframeEntry]:
-        """Build a retrieval-DB entry from cam0 observations + current
-        landmark estimates (the VisualImageDesc of this keyframe)."""
-        kf = self.tracker.last_kf
-        obs0 = next((o for o in ff.observations if o.cam_id == 0), None)
-        if obs0 is None or len(obs0.landmark_ids) == 0:
+        """Build a retrieval-DB entry from ALL views' observations +
+        current landmark estimates (the VisualImageDescArray of this
+        keyframe; quadcam entries carry the camera index per keypoint
+        for multi-direction matching)."""
+        desc_of = {}
+        for kf in ([self.tracker.last_kf] if self.tracker.last_kf
+                   else list(self.tracker.last_kf_mv.values())):
+            if kf and "desc" in kf:
+                for lid, d, v in zip(kf["ids"], kf["desc"], kf["valid"]):
+                    if v and lid >= 0:
+                        desc_of.setdefault(int(lid), d)
+        ids, cams, rays = [], [], []
+        for o in ff.observations:
+            ids.extend(int(i) for i in o.landmark_ids)
+            cams.extend([o.cam_id] * len(o.landmark_ids))
+            rays.extend(np.asarray(o.rays, np.float64))
+        if not ids:
             return None
-        ids = np.asarray(obs0.landmark_ids)
-        rays = np.asarray(obs0.rays, np.float64)
-        if kf and "desc" in kf:
-            desc_of = {lid: d for lid, d, v in
-                       zip(kf["ids"], kf["desc"], kf["valid"]) if v}
-            desc = np.stack([
-                desc_of.get(lid, np.zeros(self.detector.cfg.desc_dim,
-                                          np.float32))
-                for lid in ids
-            ])
-        else:
-            desc = np.zeros((len(ids), self.detector.cfg.desc_dim),
-                            np.float32)
-        lm_pos = self._lm_positions_of(ff)
+        D = self.detector.cfg.desc_dim
+        desc = np.stack([
+            desc_of.get(lid, np.zeros(D, np.float32)) for lid in ids
+        ])
+        lm_pos = self._lm_positions_of(ff, ids)
         return KeyframeEntry(
             frame_id=ff.frame_id, drone_id=self.drone_id, stamp=ff.stamp,
-            pose=pose, kpt_rays=rays,
-            kpt_cam=np.zeros(len(ids), np.int32), kpt_desc=desc,
+            pose=pose, kpt_rays=np.asarray(rays).reshape(-1, 3),
+            kpt_cam=np.asarray(cams, np.int32), kpt_desc=desc,
             kpt_valid=np.ones(len(ids), bool), lm_positions=lm_pos,
+            lm_ids=np.asarray(ids, np.int64),
         )
 
-    def _lm_positions_of(self, ff: FrontendFrame) -> np.ndarray:
-        """World positions of this frame's cam0 landmarks from the
-        estimator DB (nan where not yet estimated)."""
-        obs0 = next((o for o in ff.observations if o.cam_id == 0), None)
-        if obs0 is None:
-            return np.zeros((0, 3))
-        ids = np.asarray(obs0.landmark_ids)
+    def _lm_positions_of(self, ff: FrontendFrame, ids=None) -> np.ndarray:
+        """World positions of this frame's landmarks from the estimator
+        DB (nan where not yet estimated). ``ids`` defaults to every
+        view's landmark ids in observation order."""
+        if ids is None:
+            ids = [int(i) for o in ff.observations for i in o.landmark_ids]
         lm_pos = np.full((len(ids), 3), np.nan)
         for k, lid in enumerate(ids):
             lm = self.estimator.lmanager.db.get(int(lid))
@@ -321,24 +458,83 @@ class D2SLAMSystem:
             entry = self._make_entry(ff, pose)
         if entry is None:
             return None
-        obs0 = next(o for o in ff.observations if o.cam_id == 0)
+        est = self.estimator
+        n_obs = sum(len(o.landmark_ids) for o in ff.observations)
+        if len(entry.lm_ids) == len(entry.kpt_valid) == n_obs:
+            # entry built from all views (quadcam/_make_entry path)
+            lm_ids = np.asarray(entry.lm_ids, np.int64)
+            lm_cam = np.asarray(entry.kpt_cam, np.uint8)
+            lm_rays = np.asarray(entry.kpt_rays, np.float32)
+            lm_desc = entry.kpt_desc.astype(np.float32)
+            vels = np.concatenate([
+                np.asarray(o.ray_vels, np.float32).reshape(-1, 3)
+                for o in ff.observations
+            ]) if ff.observations else np.zeros((0, 3), np.float32)
+        else:
+            # caller-provided cam0 entry (oracle-frontend tests)
+            obs0 = next((o for o in ff.observations if o.cam_id == 0), None)
+            if obs0 is None:
+                return None
+            lm_ids = np.asarray(obs0.landmark_ids, np.int64)
+            lm_cam = np.zeros(len(lm_ids), np.uint8)
+            lm_rays = np.asarray(obs0.rays, np.float32)
+            lm_desc = entry.kpt_desc.astype(np.float32)
+            vels = np.asarray(obs0.ray_vels, np.float32)
+        # v2 state block (reference VisualImageDescArray imu_buf + Ba/Bg
+        # + sld_win_status): peers in DISTRIBUTED/SOLVE_ALL modes ingest
+        # this frame into their own windows
+        imu_t, imu_acc, imu_gyr = est.imubuf.samples_between(
+            self._last_bcast_t, ff.stamp + 1e-9
+        )
+        self._last_bcast_t = ff.stamp
+        od = self.odometry
+        w = est._last_self_slot()
+        sb = np.asarray(est.state.sb[w], np.float64)
+        win = np.asarray(
+            [f.frame_id for f in est.frames if f.drone_id < 0], np.int64
+        )
         return RemoteKeyframePacket(
             drone_id=self.drone_id, frame_id=ff.frame_id, stamp=ff.stamp,
             is_keyframe=True, pose=pose.astype(np.float32),
             gdesc=gdesc,
-            lm_ids=np.asarray(obs0.landmark_ids, np.int64),
-            lm_cam=np.zeros(len(obs0.landmark_ids), np.uint8),
-            lm_rays=np.asarray(obs0.rays, np.float32),
-            lm_vels=np.asarray(obs0.ray_vels, np.float32),
-            lm_desc=entry.kpt_desc.astype(np.float32),
+            lm_ids=lm_ids,
+            lm_cam=lm_cam,
+            lm_rays=lm_rays,
+            lm_vels=vels,
+            lm_desc=lm_desc,
+            ba=sb[3:6].astype(np.float32), bg=sb[6:9].astype(np.float32),
+            vel=(od.vel if od is not None else sb[:3]).astype(np.float32),
+            imu_t=imu_t, imu_acc=imu_acc.astype(np.float32),
+            imu_gyr=imu_gyr.astype(np.float32),
+            sld_win=win,
+            ref_frame_id=self.ref_frame_id,
         )
 
     def _on_remote_keyframe(self, pkt: RemoteKeyframePacket) -> None:
         edge = self.swarm.on_remote_keyframe(pkt)
+        # map merge toward the lower reference frame (reference
+        # addFrameRemote, d2estimator.cpp:274-281: P_w_ki yaw-only,
+        # moveAllPoses, adopt the remote reference_frame_id)
+        a = self.swarm.alignments.get(pkt.drone_id)
+        if a is not None and pkt.ref_frame_id < self.ref_frame_id:
+            self._merge_reference_frame(
+                pkt.ref_frame_id, np_lie.pose_inverse(a.transform)
+            )
+            a = self.swarm.alignments.get(pkt.drone_id)
+        if (self.sys.estimation_mode == "distributed" and len(pkt.lm_ids)
+                and pkt.ref_frame_id == self.ref_frame_id):
+            # same reference frame -> wire poses are already in our
+            # world (reference addFrameRemote uses pose_drone directly
+            # when reference_frame_id matches)
+            self.estimator.input_remote_frame(pkt)
         # remote keyframes extend the pose graph in the remote drone's
-        # ego frame, aligned once a map alignment exists
+        # ego frame, aligned once a map alignment exists (packets in OUR
+        # reference frame need no alignment)
         pose = pkt.pose.astype(np.float64)
-        aligned = self.swarm.transform_remote_pose(pkt.drone_id, pose)
+        aligned = (
+            pose.copy() if pkt.ref_frame_id == self.ref_frame_id
+            else self.swarm.transform_remote_pose(pkt.drone_id, pose)
+        )
         self._add_pgo_node(pkt.drone_id, pkt.frame_id, pkt.stamp,
                            pose, init_pose=aligned)
         if edge is not None:
@@ -353,6 +549,54 @@ class D2SLAMSystem:
                     self._pgo_poses[slot] = np_lie.pose_compose(
                         a.transform, ego
                     )
+
+    def _merge_reference_frame(self, new_ref: int, T: np.ndarray) -> None:
+        """Shift this robot's whole world by the (yaw-only) transform
+        ``T`` and adopt reference frame ``new_ref`` (reference
+        moveAllPoses on map merge, d2estimator.cpp:274-281 +
+        d2state.hpp). Everything expressed in our old world moves:
+        estimator window + prior + landmarks, pose-graph nodes and our
+        stored ego poses, retrieval-DB entries, alignments, odometry."""
+        self.estimator.move_all_poses(T)
+        self.ref_frame_id = new_ref
+        cons = getattr(self.estimator, "_consensus", None)
+        if cons is not None:
+            cons.ref_frame_id = new_ref
+            self.estimator._consensus_tilde.clear()
+
+        for slot, (d, fid, stamp, ego) in enumerate(self._pgo_meta):
+            if self._pgo_poses is not None:
+                self._pgo_poses[slot] = np_lie.pose_compose(
+                    T, self._pgo_poses[slot]
+                )
+            if d == self.drone_id:
+                self._pgo_meta[slot] = (
+                    d, fid, stamp, np_lie.pose_compose(T, ego)
+                )
+        self.detector.entries = [
+            e._replace(
+                pose=np_lie.pose_compose(T, e.pose),
+                lm_positions=np.asarray(
+                    [np_lie.pose_apply(T, p) if np.isfinite(p).all() else p
+                     for p in e.lm_positions]
+                ).reshape(-1, 3),
+            ) if e.drone_id == self.drone_id else e
+            for e in self.detector.entries
+        ]
+        for did, al in list(self.swarm.alignments.items()):
+            self.swarm.alignments[did] = al._replace(
+                transform=np_lie.pose_compose(T, al.transform)
+            )
+        if self.dpgo is not None:
+            for slot in range(len(self.dpgo.keys)):
+                self.dpgo.poses[slot] = np_lie.pose_compose(
+                    T, self.dpgo.poses[slot]
+                )
+            self.dpgo.ref_frame_id = new_ref
+            self.dpgo.dual_local.clear()
+            self.dpgo.dual_remote.clear()
+        if self.odometry is not None:
+            self.odometry = self.estimator.latest_odometry()
 
     # ------------------------------------------------------------------
     # pose-graph backend (the d2pgo_node role)
@@ -382,12 +626,104 @@ class D2SLAMSystem:
             self._ego_edges.append((prev, slot, rel, dist))
         self._last_kf_of[drone_id] = slot
 
-    def add_loop_edge(self, edge: LoopEdge) -> None:
+    def add_loop_edge(self, edge: LoopEdge, broadcast: bool = True) -> None:
+        key = (edge.drone_id_a, edge.frame_id_a,
+               edge.drone_id_b, edge.frame_id_b)
+        if key in self._loop_keys:
+            return
+        self._loop_keys.add(key)
         self.loop_edges.append(edge)
         self.last_loop = edge
+        if broadcast and self.loopnet is not None \
+                and self.sys.broadcast_loops:
+            # share with the swarm so every robot's PGO has the edge
+            # (reference SWARM_LOOP_CONN, loop_net.cpp:10-22)
+            self.loopnet.broadcast_loop_edge(
+                edge.frame_id_a, edge.frame_id_b, edge.drone_id_a,
+                edge.drone_id_b, edge.rel_pose, edge.pos_cov, edge.yaw_cov,
+                edge.inliers,
+            )
+
+    def _on_loop_edge_msg(self, dec: tuple) -> None:
+        fa, fb, da, db, rel, pc, yc, inl = dec
+        self.add_loop_edge(
+            LoopEdge(frame_id_a=fa, frame_id_b=fb, drone_id_a=da,
+                     drone_id_b=db, rel_pose=rel, pos_cov=pc, yaw_cov=yc,
+                     inliers=inl),
+            broadcast=False,
+        )
 
     def _loop_slot(self, drone_id: int, frame_id: int) -> Optional[int]:
         return self._pgo_slot.get((drone_id, frame_id))
+
+    def nearby_drones(self, now: float) -> set:
+        """Drones within near-field range per the PGO-fused positions
+        (reference getNearbyDronesbyPGOData, d2estimator.cpp:931-976 —
+        the PGO->VIO feedback that gates lazy-broadcast escalation)."""
+        from d2slam_tpu.comm.loopnet import nearby_drones_from_pgo
+
+        if self.odometry is None or self._pgo_poses is None:
+            return set()
+        positions = {}
+        for d, slot in self._last_kf_of.items():
+            if d == self.drone_id:
+                continue
+            positions[d] = (self._pgo_poses[slot][:3],
+                            self._pgo_meta[slot][2])
+        return nearby_drones_from_pgo(
+            np.asarray(self.odometry.pose[:3]), positions, now,
+            distance=self.sys.nearby_distance,
+            max_age=self.sys.nearby_max_age,
+        )
+
+    def _solve_pgo_distributed(self) -> Optional[np.ndarray]:
+        """One ARock DPGO round over the transport (reference
+        solve_multi -> ARockPGO; d2pgo.cpp:155-328). The local graph is
+        synced into the endpoint, a round runs (receive -> anchored
+        local solve -> dual update -> broadcast), and the optimized
+        poses come back into the node's pose table."""
+        from d2slam_tpu.vins.types import global_frame_id as gid
+
+        dp = self.dpgo
+        n = len(self._pgo_meta)
+        for slot, (d, fid, stamp, ego) in enumerate(self._pgo_meta):
+            dp.add_frame(gid(d, fid), owner=d, pose=self._pgo_poses[slot])
+
+        def key_of(slot):
+            d, fid, _, _ = self._pgo_meta[slot]
+            return gid(d, fid)
+
+        for (a, b, r, dist) in self._ego_edges[self._dpgo_ego_synced:]:
+            cov_p = max(self.sys.ego_cov_min,
+                        self.sys.ego_pos_cov_per_m * dist)
+            cov_y = max(self.sys.ego_cov_min,
+                        self.sys.ego_yaw_cov_per_m * dist)
+            si = np.diag([1 / np.sqrt(cov_p)] * 3 + [1 / np.sqrt(cov_y)] * 3)
+            dp.add_edge(key_of(a), key_of(b), r, si)
+        self._dpgo_ego_synced = len(self._ego_edges)
+
+        loops = self._usable_loops()
+        mask = (self._pcm_mask(loops) if len(loops) > 1
+                else np.ones(len(loops), bool))
+        for keep, (sa, sb, e) in zip(mask, loops):
+            lk = (e.drone_id_a, e.frame_id_a, e.drone_id_b, e.frame_id_b)
+            if not keep or lk in self._dpgo_loops_added:
+                continue
+            si = np.diag([1 / np.sqrt(e.pos_cov)] * 3
+                         + [1 / np.sqrt(e.yaw_cov)] * 3)
+            if dp.add_edge(key_of(sa), key_of(sb), e.rel_pose, si):
+                self._dpgo_loops_added.add(lk)
+
+        now = self._pgo_meta[-1][2] if self._pgo_meta else 0.0
+        dp.updated = True  # timer-driven round (reference solver cadence)
+        dp.solve(stamp=now)
+        for slot in range(n):
+            p = dp.optimized_pose(key_of(slot))
+            if p is not None:
+                self._pgo_poses[slot] = p
+        self.pgo_solve_count += 1
+        self.last_pgo_report = dp.last_report
+        return self._pgo_poses[:n].copy()
 
     def solve_pgo(self) -> Optional[np.ndarray]:
         """One PGO update over the accumulated graph (jitted LM, static
@@ -407,6 +743,8 @@ class D2SLAMSystem:
         n = len(self._pgo_meta)
         if n < 3:
             return None
+        if self.dpgo is not None:
+            return self._solve_pgo_distributed()
         layout = PGOLayout(self.sys.pgo_max_poses, self.sys.pgo_max_edges,
                            self.sys.pgo_pose_dof)
 

@@ -514,12 +514,29 @@ class D2Estimator:
         becomes ADMM sub-steps exchanging shared poses with peers over
         the transport (reference solveinDistributedMode,
         d2estimator.cpp:502-602 — the sync-token handshake is the
-        transport layer's iteration token)."""
+        transport layer's iteration token).
+
+        Shared poses are matched across robots by 64-bit
+        (drone_id, frame_id) keys, never by window slot — robots whose
+        keyframe decisions diverge still average exactly the frames
+        they share (reference updateWithDistributedVinsData applies
+        entries by frame id, VINSConsenusSolver.cpp:60-92). Duals are
+        therefore keyed by frame id and survive window shifts."""
         self._consensus = transport_consensus
         self._consensus_peers = expected_peers
         self._consensus_timeout = timeout_ms
         self._consensus_token = 0
-        self._consensus_tilde = np.zeros((self.layout.W, 6))
+        self._consensus_tilde: Dict[int, np.ndarray] = {}
+
+    def consensus_key(self, frame: "WindowFrame") -> int:
+        """Swarm-wide identity of a window frame. Own frames fold our
+        drone id in; remote frames (SOLVE_ALL pool) already carry the
+        folded id as their frame_id."""
+        from d2slam_tpu.vins.types import global_frame_id
+
+        if frame.drone_id < 0:
+            return global_frame_id(self.cfg.self_id, frame.frame_id)
+        return int(frame.frame_id)
 
     def _solve_window(self):
         with self.perf.stage("build_measurements"):
@@ -528,18 +545,25 @@ class D2Estimator:
         self._meas_stale = False
         e = self.cfg.estimator
         if getattr(self, "_consensus", None) is not None:
+            n = len(self.frames)
+            keys = np.array([self.consensus_key(f) for f in self.frames],
+                            np.int64)
             for _ in range(max(e.consensus_max_steps, 1)):
-                poses_np = np.asarray(self.state.poses, np.float32)
+                poses_np = np.asarray(self.state.poses, np.float64)
                 mask = np.asarray(self.state.frame_valid)
-                gp, self._consensus_tilde, _ = self._consensus.consensus_step(
-                    self._consensus_token, poses_np, mask,
+                gp_n, tilde_n, _, _ = self._consensus.consensus_step(
+                    self._consensus_token, keys, poses_np[:n],
                     self._consensus_tilde, self._consensus_peers,
                     self._consensus_timeout,
                 )
                 self._consensus_token += 1
+                gp = poses_np.copy()
+                gp[:n] = gp_n
+                tilde = np.zeros((self.layout.W, 6))
+                tilde[:n] = tilde_n
                 cons = (
                     jnp.asarray(gp, self.dtype),
-                    jnp.asarray(self._consensus_tilde, self.dtype),
+                    jnp.asarray(tilde, self.dtype),
                     jnp.asarray(mask),
                     e.rho_frame_T, e.rho_frame_theta,
                 )
@@ -674,13 +698,8 @@ class D2Estimator:
         self._meas_stale = True
         if self.prior is not None:
             self.prior = permute_prior_frames(self.layout, self.prior, slot_map)
-        if getattr(self, "_consensus", None) is not None:
-            tilde = self._consensus_tilde
-            new_tilde = np.zeros_like(tilde)
-            for new, old in enumerate(slot_map):
-                if old >= 0:
-                    new_tilde[new] = tilde[old]
-            self._consensus_tilde = new_tilde
+        # consensus duals are keyed by frame id (attach_consensus), so
+        # window shifts need no dual bookkeeping here
 
     # ------------------------------------------------------------------
     # map merge

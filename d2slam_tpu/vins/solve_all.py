@@ -42,15 +42,7 @@ from d2slam_tpu.imu.buffer import IMUBuffer
 from d2slam_tpu.solver.marginalization import add_gauge_rows, make_pose_prior
 from d2slam_tpu.utils import np_lie
 from d2slam_tpu.vins.estimator import D2Estimator, WindowFrame
-from d2slam_tpu.vins.types import Odometry
-
-# remote frame/landmark ids are folded with the drone id into one
-# collision-free 64-bit key (reference keeps per-drone maps instead)
-_GID_SHIFT = 1 << 40
-
-
-def _gfid(drone_id: int, fid: int) -> int:
-    return drone_id * _GID_SHIFT + (int(fid) & (_GID_SHIFT - 1))
+from d2slam_tpu.vins.types import Odometry, global_frame_id as _gfid
 
 
 class SolveAllEstimator(D2Estimator):

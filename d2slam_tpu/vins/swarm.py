@@ -80,6 +80,7 @@ class SwarmManager:
             kpt_desc=pkt.lm_desc,
             kpt_valid=np.ones(len(pkt.lm_ids), bool),
             lm_positions=np.full((len(pkt.lm_ids), 3), np.nan),
+            lm_ids=np.asarray(pkt.lm_ids, np.int64),
         )
         edge = self.detector.detect(entry, pkt.gdesc)
         if edge is not None:
@@ -137,7 +138,8 @@ class SwarmManager:
     def _unify_landmarks(self, pkt: RemoteKeyframePacket,
                          edge: LoopEdge) -> None:
         """Unify matched landmark ids; ownership by earliest discovery
-        (reference trackRemote solver_id by stamp_discover)."""
+        (reference trackRemote solver_id by stamp_discover,
+        d2featuretracker.cpp:312-387)."""
         import jax.numpy as jnp
 
         from d2slam_tpu.frontend.matching import match_descriptors
@@ -146,8 +148,8 @@ class SwarmManager:
             (e for e in self.detector.entries
              if e.frame_id == edge.frame_id_a), None
         )
-        if old is None:
-            return
+        if old is None or len(old.lm_ids) != len(old.kpt_valid):
+            return  # matched entry carries no landmark ids
         idx, ok = match_descriptors(
             jnp.asarray(pkt.lm_desc), jnp.asarray(old.kpt_desc),
             jnp.ones(len(pkt.lm_ids), bool),
@@ -159,10 +161,7 @@ class SwarmManager:
             if n_uni >= self.cfg.min_unify_matches * 4:
                 break
             remote_key = (pkt.drone_id, int(pkt.lm_ids[i]))
-            # the matched local landmark index; local ids are carried
-            # through the entry ordering (caller encodes kpt order == id
-            # list order)
-            local_key = (old.drone_id, int(idx[i]))
+            local_key = (old.drone_id, int(old.lm_ids[idx[i]]))
             ta = self.lm_discovery.get(remote_key, pkt.stamp)
             tb = self.lm_discovery.get(local_key, old.stamp)
             owner = local_key if tb <= ta else remote_key

@@ -12,6 +12,23 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
+# Remote frame/landmark ids are folded with the drone id into one
+# collision-free 64-bit key (the reference keeps per-drone maps keyed
+# by FrameIdType instead; its frame ids are already globally unique
+# because they embed a random per-run base — d2frontend generates them
+# from a random generator seeded per drone).
+GID_SHIFT = 1 << 40
+
+
+def global_frame_id(drone_id: int, frame_id: int) -> int:
+    """Collision-free swarm-wide frame key."""
+    return int(drone_id) * GID_SHIFT + (int(frame_id) & (GID_SHIFT - 1))
+
+
+def split_global_id(gid: int) -> "tuple[int, int]":
+    """Inverse of :func:`global_frame_id`."""
+    return int(gid) // GID_SHIFT, int(gid) % GID_SHIFT
+
 
 @dataclasses.dataclass
 class CameraObservations:

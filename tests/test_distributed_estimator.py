@@ -1,79 +1,207 @@
-"""Two full estimators in DISTRIBUTED_CAMERA_CONSENUS mode, running in
-threads and exchanging consensus sub-steps over real UDP multicast while
-processing the same synthetic flight."""
+"""DISTRIBUTED_CAMERA_CONSENUS end to end: two full estimators, each
+ingesting the other's keyframes into its own window (reference
+addFrameRemote, d2estimator.cpp:224-293) and exchanging consensus
+sub-steps matched BY FRAME ID — with deliberately divergent keyframe
+decisions, so the windows are NOT slot-aligned and only genuinely
+shared frames are averaged (reference ConsensusSolver.cpp:166-228 +
+VINSConsenusSolver.cpp:60-92)."""
 import threading
 
 import numpy as np
 import pytest
 
 from d2slam_tpu.comm.consensus_transport import TransportConsensus
-from d2slam_tpu.comm.transport import UDPMulticastTransport
+from d2slam_tpu.comm.transport import CH_DISTRIB_VINS, CH_VIOKF_LANDMARKS, ChannelRouter, LocalBus
+from d2slam_tpu.comm.codec import (
+    RemoteKeyframePacket,
+    decode_keyframe,
+    encode_keyframe,
+)
 from d2slam_tpu.config import D2Config
+from d2slam_tpu.utils import np_lie
 from d2slam_tpu.utils.sim import CircleSim
-from d2slam_tpu.vins.estimator import D2Estimator
+from d2slam_tpu.vins.solve_all import SolveAllEstimator
+from d2slam_tpu.vins.types import global_frame_id
+
+
+def small_cfg(rid):
+    cfg = D2Config()
+    cfg.self_id = rid
+    cfg.estimator.max_sld_win_size = 6
+    cfg.estimator.min_solve_frames = 3
+    cfg.estimator.max_lm_slots = 96
+    cfg.estimator.max_solve_measurements = 384
+    cfg.estimator.max_imu_samples = 128
+    cfg.estimator.max_solver_iters = 3
+    cfg.estimator.consensus_max_steps = 1
+    return cfg
+
+
+class Robot:
+    """One drone: pooled estimator + keyed consensus + keyframe I/O."""
+
+    def __init__(self, rid, peer_id, bus, phase, kf_fn, seed):
+        self.rid, self.peer_id = rid, peer_id
+        self.sim = CircleSim(pix_noise_rad=0.5 / 460.0, seed=seed,
+                             phase=phase)
+        self.cfg = small_cfg(rid)
+        self.est = SolveAllEstimator(
+            self.cfg, self.sim.ext, max_drones=2,
+            lm_id_map=lambda d, l: l,  # sim shares global landmark ids
+        )
+        router = ChannelRouter(bus.endpoint(rid))
+        self.kf_ep = router.route({CH_VIOKF_LANDMARKS})
+        self.est.attach_consensus(
+            TransportConsensus(router.route({CH_DISTRIB_VINS}), rid),
+            expected_peers=1, timeout_ms=4000,
+        )
+        self.kf_fn = kf_fn          # frame index -> is_keyframe decision
+        self.win_ids = []           # own keyframe ids (the sld_win status)
+        self.merged = False         # map-merged into the shared world
+        self.t_prev_kf = 0.0
+        self.errs = []
+
+    def packet(self, k, t):
+        """Broadcast packet with the v2 state block — ego pose from our
+        CURRENT VIO estimate (not GT), like the reference. All robots
+        share a reference frame after the map merge in step_frame, so
+        poses go on the wire as-is (reference reference_frame_id)."""
+        od = self.est.drone_odometry(self.rid)
+        pose = od.pose.astype(np.float64)
+        vel = od.vel.astype(np.float64)
+        ff = self.sim.frame(k)
+        ids, cams, rays, vels = [], [], [], []
+        for co in ff.observations:
+            ids.extend(int(i) for i in co.landmark_ids)
+            cams.extend([co.cam_id] * len(co.landmark_ids))
+            rays.extend(co.rays)
+            vels.extend(co.ray_vels)
+        samples = self.sim.imu_samples(self.t_prev_kf + 1e-6, t + 1e-6)
+        n = len(ids)
+        return RemoteKeyframePacket(
+            drone_id=self.rid, frame_id=k, stamp=t, is_keyframe=True,
+            pose=pose.astype(np.float32), gdesc=np.zeros(16, np.float32),
+            lm_ids=np.asarray(ids, np.int64),
+            lm_cam=np.asarray(cams, np.uint8),
+            lm_rays=np.asarray(rays, np.float32).reshape(n, 3),
+            lm_vels=np.asarray(vels, np.float32).reshape(n, 3),
+            lm_desc=np.zeros((n, 8), np.float32),
+            vel=vel.astype(np.float32),
+            imu_t=np.asarray([s[0] for s in samples]),
+            imu_acc=np.asarray([s[1] for s in samples], np.float32),
+            imu_gyr=np.asarray([s[2] for s in samples], np.float32),
+            sld_win=np.asarray(self.win_ids, np.int64),
+        )
+
+    def step_pre(self, k, t, t_prev):
+        """IMU + remote ingestion, before the frame solve."""
+        if k == 0:
+            for (ts, a, g) in self.sim.imu_samples(-0.3, 0.0):
+                self.est.input_imu(ts, a, g)
+        else:
+            for (ts, a, g) in self.sim.imu_samples(t_prev + 1e-6, t + 1e-6):
+                self.est.input_imu(ts, a, g)
+        while True:
+            m = self.kf_ep.recv(timeout_ms=0)
+            if m is None:
+                break
+            pkt = decode_keyframe(m[2])
+            if pkt is None or not self.merged:
+                continue
+            # sender's poses are already in the shared world
+            self.est.input_remote_frame(
+                pkt, world_T_other=np.array([0, 0, 0, 0, 0, 0, 1.0])
+            )
+
+    def step_frame(self, k, t):
+        ff = self.sim.frame(k)
+        ff.is_keyframe = self.kf_fn(k)
+        od = self.est.input_frame(ff)
+        if od is not None and not self.merged:
+            # map merge into the shared (GT) world — the reference's
+            # moveAllPoses reference-frame shift, yaw-only
+            T = np_lie.pose_compose(
+                self.sim.gt_pose(t)[0],
+                np_lie.pose_inverse(od.pose.astype(np.float64)),
+            )
+            q = T[3:]
+            yaw = np.arctan2(2 * (q[3] * q[2] + q[0] * q[1]),
+                             1 - 2 * (q[1] ** 2 + q[2] ** 2))
+            T = np.concatenate(
+                [T[:3], [0, 0, np.sin(yaw / 2), np.cos(yaw / 2)]]
+            )
+            self.est.move_all_poses(T)
+            self.merged = True
+            od = self.est.drone_odometry(self.rid)
+        if od is not None and ff.is_keyframe and self.merged:
+            self.kf_ep.send(CH_VIOKF_LANDMARKS, encode_keyframe(self.packet(k, t)))
+            self.win_ids = (self.win_ids + [k])[-self.cfg.estimator.max_sld_win_size:]
+            self.t_prev_kf = t
+        if od is not None:
+            gt = self.sim.gt_pose(t)[0]
+            self.errs.append(np.linalg.norm(od.pose[:3] - gt[:3]))
 
 
 @pytest.mark.slow
-def test_two_distributed_estimators_agree():
-    try:
-        ta = UDPMulticastTransport(self_id=1, port=17671)
-        tb = UDPMulticastTransport(self_id=2, port=17671)
-    except OSError:
-        pytest.skip("multicast unavailable")
+def test_divergent_windows_consensus():
+    bus = LocalBus()
+    # robot 1 keeps every frame; robot 2 drops every 3rd (non-KF) —
+    # their windows are never slot-aligned after frame 2
+    r1 = Robot(1, 2, bus, phase=0.0, kf_fn=lambda k: True, seed=0)
+    r2 = Robot(2, 1, bus, phase=np.pi / 2, kf_fn=lambda k: k % 3 != 2,
+               seed=99)
+    robots = [r1, r2]
 
-    def make(rid, transport, seed):
-        cfg = D2Config()
-        cfg.estimator.max_sld_win_size = 6
-        cfg.estimator.min_solve_frames = 3
-        cfg.estimator.max_lm_slots = 64
-        cfg.estimator.max_solve_measurements = 256
-        cfg.estimator.max_imu_samples = 128
-        cfg.estimator.max_solver_iters = 3
-        cfg.estimator.consensus_max_steps = 1
-        sim = CircleSim(pix_noise_rad=0.5 / 460.0, seed=seed)
-        est = D2Estimator(cfg, sim.ext)
-        est.attach_consensus(
-            TransportConsensus(transport, rid), expected_peers=1,
-            timeout_ms=3000,
-        )
-        return est, sim
-
-    est_a, sim_a = make(1, ta, seed=0)
-    est_b, sim_b = make(2, tb, seed=99)  # same scene geometry, diff noise
-
-    n_frames = 8
-    barrier = threading.Barrier(2, timeout=180)
+    n_frames = 12
+    barrier = threading.Barrier(2, timeout=600)
     errs = []
 
-    def run(est, sim):
+    def run(r):
         try:
-            for (t, a, g) in sim.imu_samples(-0.3, 0.0):
-                est.input_imu(t, a, g)
             t_prev = 0.0
             for k in range(n_frames):
-                t = k / sim.frame_hz
-                if k:
-                    for (ts, a, g) in sim.imu_samples(t_prev + 1e-6, t + 1e-6):
-                        est.input_imu(ts, a, g)
-                t_prev = t
+                t = k / r.sim.frame_hz
+                r.step_pre(k, t, t_prev)
                 barrier.wait()  # frame-aligned so consensus tokens match
-                est.input_frame(sim.frame(k))
+                r.step_frame(k, t)
+                t_prev = t
         except Exception as e:  # pragma: no cover
             errs.append(e)
             raise
 
-    th = threading.Thread(target=run, args=(est_b, sim_b))
+    th = threading.Thread(target=run, args=(r2,))
     th.start()
-    run(est_a, sim_a)
-    th.join(timeout=300)
-    assert not th.is_alive() and not errs
+    run(r1)
+    th.join(timeout=900)
+    assert not th.is_alive() and not errs, errs
 
-    # both initialized, solved, and their latest window poses agree
-    assert est_a.solve_count >= 4 and est_b.solve_count >= 4
-    wa = len(est_a.frames) - 1
-    wb = len(est_b.frames) - 1
-    pa = np.asarray(est_a.state.poses[wa])
-    pb = np.asarray(est_b.state.poses[wb])
-    assert np.linalg.norm(pa[:3] - pb[:3]) < 0.1, (pa[:3], pb[:3])
-    ta.close()
-    tb.close()
+    assert r1.est.solve_count >= 6 and r2.est.solve_count >= 6
+
+    # the windows genuinely diverged: at least one frame of r2's own
+    # window differs from r1's copy of it at the same position
+    keys1 = {r1.est.consensus_key(f) for f in r1.est.frames}
+    keys2 = {r2.est.consensus_key(f) for f in r2.est.frames}
+    shared = keys1 & keys2
+    assert shared, "no shared frames — test harness broken"
+    assert keys1 != keys2, "windows identical — divergence not exercised"
+
+    # shared frames agree across the two estimators (all poses live in
+    # the shared world after the map merge)
+    disagreements = []
+    for key in shared:
+        pa = pb = None
+        for w, f in enumerate(r1.est.frames):
+            if r1.est.consensus_key(f) == key:
+                pa = np.asarray(r1.est.state.poses[w], np.float64)
+        for w, f in enumerate(r2.est.frames):
+            if r2.est.consensus_key(f) == key:
+                pb = np.asarray(r2.est.state.poses[w], np.float64)
+        disagreements.append(np.linalg.norm(pa[:3] - pb[:3]))
+    assert np.median(disagreements) < 0.12, (
+        f"shared-frame disagreement {np.median(disagreements):.3f}: "
+        f"{sorted(disagreements)}"
+    )
+
+    # both robots track ground truth
+    assert np.median(r1.errs) < 0.15, f"r1 err {np.median(r1.errs)}"
+    assert np.median(r2.errs) < 0.15, f"r2 err {np.median(r2.errs)}"

@@ -57,6 +57,7 @@ def test_swarm_alignment_and_unification():
             kpt_rays=raysA, kpt_cam=np.zeros(n, np.int32),
             kpt_desc=descs, kpt_valid=np.ones(n, bool),
             lm_positions=lms_wA,
+            lm_ids=np.arange(n, dtype=np.int64),
         ),
         gdesc, stamp=0.0,
     )

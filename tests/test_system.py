@@ -51,10 +51,10 @@ def make_system(drone_id, sim, transport=None, phase_sim=None, **sys_kw):
     cfg.estimator.max_solve_measurements = 512
     cfg.estimator.max_imu_samples = 128
     cfg.estimator.max_solver_iters = 5
-    sys_cfg = SystemConfig(
-        drone_id=drone_id, pgo_every_n_kf=6, pgo_max_poses=64,
-        pgo_max_edges=128, pgo_iters=6, **sys_kw,
-    )
+    kw = dict(pgo_every_n_kf=6, pgo_max_poses=64, pgo_max_edges=128,
+              pgo_iters=6)
+    kw.update(sys_kw)
+    sys_cfg = SystemConfig(drone_id=drone_id, **kw)
     loop_cfg = LoopDetectorConfig(
         desc_dim=DESC_DIM, gdesc_dim=GDESC_DIM, netvlad_thres=0.5,
         min_match_per_dir=10, min_inliers=12, min_gap_frames=6,
@@ -167,6 +167,160 @@ def test_two_robot_swarm_loop_and_alignment():
         errs.append(np.linalg.norm(pw[:3] - gt[:3]))
     rmse = np.sqrt(np.mean(np.square(errs)))
     assert rmse < 1.0, f"joint-graph RMSE {rmse}"
+
+
+@pytest.mark.slow
+def test_two_robot_transport_dpgo():
+    """Transport-based distributed PGO at the system level (reference
+    ARockPGO -> d2comm -> PGO_Sync_Data): loops broadcast on
+    SWARM_LOOP_CONN, ARock rounds over CH_PGO_DATA after the robots
+    merge reference frames; both robots converge to a consistent joint
+    graph."""
+    bus = LocalBus()
+    sim_a = CircleSim(n_landmarks=N_LM, seed=3, phase=0.0)
+    sim_b = CircleSim(n_landmarks=N_LM, seed=3, phase=0.25)
+    sys_a = make_system(0, sim_a, transport=bus.endpoint(0),
+                        enable_dpgo=True, pgo_every_n_kf=4)
+    sys_b = make_system(1, sim_b, transport=bus.endpoint(1),
+                        enable_dpgo=True, pgo_every_n_kf=4)
+
+    for s, sim in ((sys_a, sim_a), (sys_b, sim_b)):
+        for (t, a, g) in sim.imu_samples(-0.3, 0.0):
+            s.input_imu(t, a, g)
+    t_prev = 0.0
+    n_frames = 18
+    for k in range(n_frames):
+        t = k / sim_a.frame_hz
+        for s, sim in ((sys_a, sim_a), (sys_b, sim_b)):
+            if k > 0:
+                for (ts, a, g) in sim.imu_samples(t_prev + 1e-6, t + 1e-6):
+                    s.input_imu(ts, a, g)
+            ff = sim.frame(k)
+            pose_hint = s.odometry.pose if s.odometry is not None \
+                else np.array([0, 0, 0, 0, 0, 0, 1.0])
+            s.input_frame(
+                ff, gdesc=bag_gdesc(ff.observations[0].landmark_ids),
+                kf_entry=make_entry(ff, s.drone_id, pose_hint),
+            )
+        t_prev = t
+        sys_a.poll_network(now=t)
+        sys_b.poll_network(now=t)
+
+    # extra alternating ARock rounds to settle (the reference's
+    # timer-driven solve cadence keeps ticking between keyframes)
+    for _ in range(8):
+        sys_a.poll_network(now=t_prev)
+        sys_a.solve_pgo()
+        sys_b.poll_network(now=t_prev)
+        sys_b.solve_pgo()
+
+    # loops were shared: B holds the same inter-drone edge A found
+    assert any(e.drone_id_a != e.drone_id_b for e in sys_a.loop_edges)
+    assert any(e.drone_id_a != e.drone_id_b for e in sys_b.loop_edges)
+    # reference frames merged (B adopted A's world)
+    assert sys_b.ref_frame_id == 0
+    # duals flowed both ways
+    assert sys_a.dpgo.dual_remote and sys_b.dpgo.dual_remote
+
+    # both robots' optimized estimates of drone 0's trajectory agree
+    from d2slam_tpu.vins.types import global_frame_id as gid
+
+    disagree = []
+    for (d, fid, _, _) in sys_a._pgo_meta:
+        pa = sys_a.dpgo.optimized_pose(gid(d, fid))
+        pb = sys_b.dpgo.optimized_pose(gid(d, fid))
+        if pa is not None and pb is not None:
+            disagree.append(np.linalg.norm(pa[:3] - pb[:3]))
+    assert len(disagree) >= 10, "graphs barely overlap"
+    assert np.median(disagree) < 0.25, (
+        f"DPGO disagreement {np.median(disagree):.3f}"
+    )
+
+
+@pytest.mark.slow
+def test_two_robot_distributed_camera_consensus():
+    """Full DISTRIBUTED_CAMERA_CONSENUS at the system level: two robot
+    nodes over the in-memory bus detect an inter-drone loop, merge
+    reference frames toward the lower drone id (reference
+    d2estimator.cpp:274-281 moveAllPoses), ingest each other's
+    keyframes into their windows (addFrameRemote) and run frame-id
+    keyed consensus sub-steps on every solve."""
+    import threading
+
+    bus = LocalBus()
+    sim_a = CircleSim(n_landmarks=N_LM, seed=3, phase=0.0)
+    sim_b = CircleSim(n_landmarks=N_LM, seed=3, phase=0.25)
+    sys_a = make_system(0, sim_a, transport=bus.endpoint(0),
+                        estimation_mode="distributed", max_drones=2,
+                        consensus_timeout_ms=2000)
+    sys_b = make_system(1, sim_b, transport=bus.endpoint(1),
+                        estimation_mode="distributed", max_drones=2,
+                        consensus_timeout_ms=2000)
+
+    n_frames = 18
+    barrier = threading.Barrier(2, timeout=900)
+    errs = []
+
+    def run(s, sim):
+        try:
+            for (t, a, g) in sim.imu_samples(-0.3, 0.0):
+                s.input_imu(t, a, g)
+            t_prev = 0.0
+            for k in range(n_frames):
+                t = k / sim.frame_hz
+                if k > 0:
+                    for (ts, a, g) in sim.imu_samples(t_prev + 1e-6, t + 1e-6):
+                        s.input_imu(ts, a, g)
+                t_prev = t
+                s.poll_network(now=t)
+                barrier.wait()  # align solves so consensus tokens match
+                ff = sim.frame(k)
+                pose_hint = (s.odometry.pose if s.odometry is not None
+                             else np.array([0, 0, 0, 0, 0, 0, 1.0]))
+                s.input_frame(
+                    ff, gdesc=bag_gdesc(ff.observations[0].landmark_ids),
+                    kf_entry=make_entry(ff, s.drone_id, pose_hint),
+                )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+            raise
+
+    th = threading.Thread(target=run, args=(sys_b, sim_b))
+    th.start()
+    run(sys_a, sim_a)
+    th.join(timeout=1200)
+    assert not th.is_alive() and not errs, errs
+
+    # reference-frame merge happened: drone 1 adopted drone 0's world
+    assert sys_b.ref_frame_id == 0, "no map merge"
+    assert sys_a.ref_frame_id == 0
+
+    # cross ingestion: each robot's window pool holds BOTH drones
+    drones_a = {f.drone_id for f in sys_a.estimator.frames}
+    drones_b = {f.drone_id for f in sys_b.estimator.frames}
+    assert 1 in drones_a, "drone 0 never ingested drone 1's frames"
+    assert 0 in drones_b, "drone 1 never ingested drone 0's frames"
+
+    # consensus exchanged: shared keys accumulated duals on both sides
+    keys_a = {sys_a.estimator.consensus_key(f)
+              for f in sys_a.estimator.frames}
+    keys_b = {sys_b.estimator.consensus_key(f)
+              for f in sys_b.estimator.frames}
+    assert keys_a & keys_b, "no shared frames between the robots"
+
+    # both VIOs still track ground truth (gauge: drone 0's world)
+    from d2slam_tpu.utils import np_lie
+
+    od_a = sys_a.odometry
+    gt_a, _ = sim_a.gt_pose(od_a.stamp)
+    T_align = np_lie.pose_compose(
+        np.asarray(od_a.pose, np.float64), np_lie.pose_inverse(gt_a)
+    )
+    od_b = sys_b.odometry
+    gt_b, _ = sim_b.gt_pose(od_b.stamp)
+    gt_b_in_a = np_lie.pose_compose(T_align, gt_b)
+    err_b = np.linalg.norm(np.asarray(od_b.pose[:3]) - gt_b_in_a[:3])
+    assert err_b < 0.6, f"drone 1 diverged after merge: {err_b:.3f}"
 
 
 def test_single_robot_system_pcg_solver():
