@@ -166,3 +166,57 @@ def load_params(path: str) -> Dict:
         else:
             out[k] = jnp.asarray(raw[k])
     return out
+
+
+# ---------------------------------------------------------------------------
+# matcher hooks (reference enable_superglue_local / enable_superglue_remote)
+# ---------------------------------------------------------------------------
+
+
+def make_tracker_matcher(params: Dict, img_hw: Tuple[int, int],
+                         cfg: SuperGlueConfig = SuperGlueConfig()):
+    """SuperGlue as the FeatureTracker's pluggable matcher
+    (``matcher_fn``; reference enable_superglue_local routes
+    matchLocalFeatures through SuperGlueOnnx::inference). Signature
+    matches FeatureTracker._match: (desc_a, pts_a, valid_a, desc_b,
+    pts_b, valid_b) -> (idx [Na] int32 into b, ok [Na] bool)."""
+
+    def match(desc_a, pts_a, valid_a, desc_b, pts_b, valid_b):
+        da = jnp.asarray(desc_a, jnp.float32)
+        db = jnp.asarray(desc_b, jnp.float32)
+        return superglue_match(
+            params,
+            jnp.asarray(pts_a, jnp.float32), da,
+            jnp.ones(da.shape[0], jnp.float32), jnp.asarray(valid_a),
+            jnp.asarray(pts_b, jnp.float32), db,
+            jnp.ones(db.shape[0], jnp.float32), jnp.asarray(valid_b),
+            img_hw, cfg,
+        )
+
+    return match
+
+
+def make_loop_matcher(params: Dict,
+                      cfg: SuperGlueConfig = SuperGlueConfig()):
+    """SuperGlue as the LoopDetector's matcher (``matcher_fn``;
+    reference enable_superglue_remote). Loop entries carry unit RAYS,
+    not pixels; the positional encoding uses the ray xy components
+    (already in [-1, 1])."""
+
+    def match(desc_a, rays_a, valid_a, desc_b, rays_b, valid_b):
+        da = jnp.asarray(desc_a, jnp.float32)
+        db = jnp.asarray(desc_b, jnp.float32)
+        # map ray xy from [-1, 1] to the [0, W]x[0, H] box the
+        # positional encoder normalizes with
+        pa = (jnp.asarray(rays_a, jnp.float32)[:, :2] + 1.0)
+        pb = (jnp.asarray(rays_b, jnp.float32)[:, :2] + 1.0)
+        return superglue_match(
+            params,
+            pa, da, jnp.ones(da.shape[0], jnp.float32),
+            jnp.asarray(valid_a),
+            pb, db, jnp.ones(db.shape[0], jnp.float32),
+            jnp.asarray(valid_b),
+            (2, 2), cfg,
+        )
+
+    return match

@@ -66,26 +66,46 @@ class FeatureTracker:
         cfg: TrackerConfig = TrackerConfig(),
         frame_rate: float = 8.0,
         extract_fn=None,
+        extrinsics=None,
+        matcher_fn=None,
     ):
         """extract_fn: optional override ``f(img, cam_id) ->
         SuperPointOutput`` (tests inject oracle extractors; production
-        uses jitted SuperPoint)."""
+        uses jitted SuperPoint).
+
+        extrinsics: [C, 7] body_T_cam — required for multi-view
+        (quadcam) cross-view association, which predicts feature
+        positions through the relative camera rotations (reference
+        matchLocalFeatures prediction_using_extrinsic).
+
+        matcher_fn: optional learned matcher ``f(desc_a, kpts_a,
+        valid_a, desc_b, kpts_b, valid_b) -> (idx, ok)`` replacing the
+        nearest-neighbor descriptor matching (reference
+        enable_superglue_local; wire frontend.superglue here)."""
         self.sp_params = sp_params
         self.sp_cfg = sp_cfg
         self.cams = cam_params  # PinholeParams or any object with .lift
         #                         (e.g. geometry.kalibr.KalibrCamera)
         self.cfg = cfg
         self.dt = 1.0 / frame_rate
+        self.ext = None if extrinsics is None else np.asarray(extrinsics)
+        self.matcher_fn = matcher_fn
         if extract_fn is None:
             jitted = jax.jit(
                 lambda img: superpoint_extract(sp_params, img, sp_cfg)
             )
             self._extract = lambda img, cam_id: jitted(img)
+            self._extract_batch = jax.jit(jax.vmap(
+                lambda img: superpoint_extract(sp_params, img, sp_cfg)
+            ))
         else:
             self._extract = extract_fn
+            self._extract_batch = None
         self._lm_ids = itertools.count(0)
         self.prev: Dict = {}          # last processed frame data
         self.last_kf: Dict = {}       # last keyframe data
+        self.prev_mv: Dict[int, Dict] = {}     # per-view (quadcam)
+        self.last_kf_mv: Dict[int, Dict] = {}  # per-view (quadcam)
         self.frame_count = 0
         self.landmark_count = 0
 
@@ -98,6 +118,250 @@ class FeatureTracker:
         if hasattr(cam, "lift"):
             return cam.lift(uv)
         return pinhole_lift(uv, cam)
+
+    def _project(self, cam_idx: int, rays):
+        """Camera-frame rays -> [N, 2] pixels for camera ``cam_idx``
+        (project functions also return a validity mask — dropped here;
+        callers gate on ray z separately)."""
+        from d2slam_tpu.geometry.cameras import pinhole_project
+
+        cam = self.cams[cam_idx]
+        rays = jnp.asarray(rays, jnp.float32)
+        out = (cam.project(rays) if hasattr(cam, "project")
+               else pinhole_project(rays, cam))
+        return out[0] if isinstance(out, tuple) else out
+
+    def _match(self, desc_a, pts_a, valid_a, desc_b, pts_b, valid_b,
+               radius: float):
+        """Descriptor association hook: learned matcher when configured
+        (enable_superglue_local), else radius-gated NN ratio match."""
+        if self.matcher_fn is not None:
+            return self.matcher_fn(desc_a, pts_a, valid_a,
+                                   desc_b, pts_b, valid_b)
+        return match_descriptors_radius(
+            jnp.asarray(desc_a), jnp.asarray(desc_b),
+            jnp.asarray(pts_a, jnp.float32), jnp.asarray(pts_b, jnp.float32),
+            jnp.asarray(valid_a), jnp.asarray(valid_b),
+            radius=radius, ratio=self.cfg.match_ratio,
+        )
+
+    # ------------------------------------------------------------------
+    # multi-view (FOURCORNER_FISHEYE quadcam) tracking
+    # ------------------------------------------------------------------
+
+    def process_quadcam(self, stamp: float, frame_id: int,
+                        imgs: List[np.ndarray]) -> Optional[FrontendFrame]:
+        """4-view omnidirectional tracking (reference FOURCORNER_FISHEYE
+        path, d2featuretracker.cpp:121-133: per-view temporal track then
+        adjacent-pair cross-view association 0-1, 1-2, 2-3, 0-3).
+        ``imgs`` are the undistorted virtual-pinhole views; adjacency is
+        the camera ring."""
+        V = len(imgs)
+        ring = [(v, (v + 1) % V) for v in range(V)]
+        return self.process_multiview(stamp, frame_id, imgs, ring)
+
+    def process_multiview(self, stamp: float, frame_id: int,
+                          imgs: List[np.ndarray], adjacency
+                          ) -> Optional[FrontendFrame]:
+        """General N-view tracking with cross-view landmark unification.
+
+        Per view: SuperPoint (one batched extraction across views — the
+        4 quadcam views ride one device program), LK carry-over from the
+        previous frame, descriptor match against the last keyframe
+        (reference per-view track()). Cross-view: descriptor match
+        gated by extrinsic-predicted positions (reference
+        matchLocalFeatures prediction_using_extrinsic,
+        d2featuretracker.cpp:658-753); matched features across views are
+        union-found into ONE landmark id.
+        """
+        V = len(imgs)
+        imgs_j = [jnp.asarray(im, jnp.float32) for im in imgs]
+        if self._extract_batch is not None and len({im.shape for im in imgs}) == 1:
+            batched = self._extract_batch(jnp.stack(imgs_j))
+            outs = [
+                jax.tree_util.tree_map(lambda x, v=v: x[v], batched)
+                for v in range(V)
+            ]
+        else:
+            outs = [self._extract(imgs_j[v], v) for v in range(V)]
+
+        views = []
+        moves_all: List[float] = []
+        tracked_tot = 0
+        for v in range(V):
+            res = self._track_view_temporal(v, imgs_j[v], outs[v])
+            views.append(res)
+            tracked_tot += res["tracked"]
+            moves_all.extend(res["moves"])
+
+        # ---- cross-view association (union-find over (view, idx)) ----
+        parent: Dict = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(x, y):
+            parent[find(x)] = find(y)
+
+        for (a, b) in adjacency:
+            va, vb = views[a], views[b]
+            if not va["valid"].any() or not vb["valid"].any():
+                continue
+            pred = self._predict_cross_view(a, b, va["kpts"])
+            infront = pred[:, 2] > 0
+            idx, ok = self._match(
+                va["desc"], pred[:, :2], va["valid"] & infront,
+                vb["desc"], vb["kpts"], vb["valid"],
+                radius=self.cfg.search_radius,
+            )
+            idx, ok = np.asarray(idx), np.asarray(ok)
+            for i in np.flatnonzero(ok):
+                union((a, i), (b, int(idx[i])))
+
+        # one landmark id per union group: an existing temporal id if
+        # any member carries one, else a fresh id
+        groups: Dict = {}
+        for v in range(V):
+            for j in np.flatnonzero(views[v]["valid"]):
+                groups.setdefault(find((v, int(j))), []).append((v, int(j)))
+        for members in groups.values():
+            ids = [views[v]["ids"][j] for (v, j) in members
+                   if views[v]["ids"][j] >= 0]
+            lid = min(ids) if ids else next(self._lm_ids)
+            if not ids:
+                self.landmark_count += 1
+            for (v, j) in members:
+                views[v]["ids"][j] = lid
+
+        # ---- keyframe decision (reference isKeyframe) ----
+        parallax = float(np.mean(moves_all)) if moves_all else 1e9
+        is_keyframe = (
+            not self.last_kf_mv
+            or parallax > self.cfg.min_keyframe_parallax
+            or tracked_tot < self.cfg.min_tracked_for_nonkf
+        )
+
+        for v in range(V):
+            self.prev_mv[v] = dict(
+                pyr=views[v]["pyr"], pts=views[v]["kpts"],
+                ids=views[v]["ids"], valid=views[v]["valid"],
+                desc=views[v]["desc"],
+            )
+        self.frame_count += 1
+        if not is_keyframe:
+            return None
+        for v in range(V):
+            self.last_kf_mv[v] = dict(
+                pts=views[v]["kpts"], ids=views[v]["ids"],
+                valid=views[v]["valid"], desc=views[v]["desc"],
+            )
+
+        obs = []
+        for v in range(V):
+            sel = np.flatnonzero(views[v]["valid"])
+            if not len(sel):
+                continue
+            rays = np.asarray(self._lift(v, views[v]["kpts"][sel]))
+            vel = np.zeros_like(rays)
+            prev_pt_of = views[v]["prev_pt_of"]
+            for k, j in enumerate(sel):
+                lid = views[v]["ids"][j]
+                if lid in prev_pt_of:
+                    prev_ray = np.asarray(
+                        self._lift(v, prev_pt_of[lid][None])
+                    )[0]
+                    vel[k] = (rays[k] - prev_ray) / self.dt
+            obs.append(CameraObservations(
+                cam_id=v, landmark_ids=views[v]["ids"][sel],
+                rays=rays, ray_vels=vel,
+            ))
+        return FrontendFrame(
+            stamp=stamp, frame_id=frame_id, is_keyframe=True,
+            observations=obs,
+        )
+
+    def _track_view_temporal(self, v: int, img_j, out) -> Dict:
+        """One view's temporal association: LK carry-over first, then
+        descriptor match vs the view's last keyframe (same layering as
+        process_stereo; reference track(frame) per view)."""
+        kpts = np.asarray(out.kpts)
+        desc = np.asarray(out.desc)
+        valid = np.asarray(out.valid)
+        ids = -np.ones(len(kpts), np.int64)
+
+        pyr_now = build_pyramid(img_j, self.cfg.lk_levels)
+        prev = self.prev_mv.get(v)
+        if self.cfg.use_lk and prev:
+            live = np.asarray(prev["valid"])
+            if live.any():
+                new_pts, ok = lk_track_pyramidal(
+                    prev["pyr"], pyr_now,
+                    jnp.asarray(prev["pts"], jnp.float32), jnp.asarray(live),
+                )
+                new_pts, ok = np.asarray(new_pts), np.asarray(ok)
+                already: set = set()
+                for i in np.flatnonzero(ok):
+                    lid = prev["ids"][i]
+                    if lid < 0 or lid in already:
+                        continue
+                    d = np.linalg.norm(kpts - new_pts[i], axis=1)
+                    j = int(np.argmin(d))
+                    if d[j] < 2.0 and ids[j] < 0 and valid[j]:
+                        ids[j] = lid
+                        already.add(lid)
+
+        kf = self.last_kf_mv.get(v)
+        if kf:
+            taken = set(ids[ids >= 0].tolist())
+            kf_free = np.asarray([lid not in taken for lid in kf["ids"]])
+            target_free = (ids < 0) & valid
+            idx, ok = self._match(
+                kf["desc"], kf["pts"], kf["valid"] & kf_free,
+                desc, kpts, target_free,
+                radius=self.cfg.search_radius,
+            )
+            idx, ok = np.asarray(idx), np.asarray(ok)
+            for a_i in np.flatnonzero(ok):
+                if ids[idx[a_i]] < 0:
+                    ids[idx[a_i]] = kf["ids"][a_i]
+
+        tracked, moves = 0, []
+        if kf:
+            kf_pts_of = {lid: p for lid, p in zip(kf["ids"], kf["pts"])
+                         if lid >= 0}
+            for j in np.flatnonzero(valid):
+                if ids[j] in kf_pts_of:
+                    tracked += 1
+                    moves.append(float(np.linalg.norm(
+                        kpts[j] - kf_pts_of[ids[j]]
+                    )))
+        prev_pt_of = {}
+        if prev:
+            prev_pt_of = {lid: p for lid, p in zip(prev["ids"], prev["pts"])
+                          if lid >= 0}
+        return dict(kpts=kpts, desc=desc, valid=valid, ids=ids,
+                    pyr=pyr_now, tracked=tracked, moves=moves,
+                    prev_pt_of=prev_pt_of)
+
+    def _predict_cross_view(self, a: int, b: int,
+                            kpts_a: np.ndarray) -> np.ndarray:
+        """Predict view-a features' pixel positions in view b through
+        the relative camera rotation (far-field approximation — the
+        reference's prediction_using_extrinsic). Returns [N, 3]:
+        (u, v, z_in_b); z <= 0 means behind camera b."""
+        from d2slam_tpu.utils import np_lie
+
+        if self.ext is None:
+            raise ValueError("multi-view tracking needs extrinsics")
+        rays_a = np.asarray(self._lift(a, kpts_a), np.float64)
+        R_a = np_lie.quat_to_rotmat(self.ext[a, 3:])
+        R_b = np_lie.quat_to_rotmat(self.ext[b, 3:])
+        rays_b = rays_a @ (R_b.T @ R_a).T
+        uv = np.asarray(self._project(b, rays_b))
+        return np.concatenate([uv, rays_b[:, 2:3]], axis=1)
 
     # ------------------------------------------------------------------
 
@@ -145,16 +409,17 @@ class FeatureTracker:
                         already.add(lid)
 
         # ---- descriptor match vs last keyframe for remaining gaps ----
+        # (routes through self._match: the learned-matcher hook,
+        # reference enable_superglue_local)
         if self.last_kf:
             kf = self.last_kf
             taken = set(matched_ids[matched_ids >= 0].tolist())
             kf_free = np.asarray([lid not in taken for lid in kf["ids"]])
-            target_free = jnp.asarray(matched_ids < 0) & outL.valid
-            idx, ok = match_descriptors_radius(
-                jnp.asarray(kf["desc"]), outL.desc,
-                jnp.asarray(kf["pts"], jnp.float32), outL.kpts,
-                jnp.asarray(kf["valid"] & kf_free), target_free,
-                radius=self.cfg.search_radius, ratio=self.cfg.match_ratio,
+            target_free = np.asarray((matched_ids < 0) & validL)
+            idx, ok = self._match(
+                kf["desc"], kf["pts"], kf["valid"] & kf_free,
+                descL, kptsL, target_free,
+                radius=self.cfg.search_radius,
             )
             idx, ok = np.asarray(idx), np.asarray(ok)
             for a_i in np.flatnonzero(ok):

@@ -82,6 +82,10 @@ def distributed_pgo_solve(
     edge_mask,
     rounds: int = 8,
     rot_init: bool = True,
+    gravity_body=None,
+    gravity_weight: float = 0.0,
+    rot_init_rounds: int = 2,
+    rot_init_eps: float = 1e-4,
     **round_kw,
 ):
     """The reference's full far-field sequence inside shard_map:
@@ -89,9 +93,15 @@ def distributed_pgo_solve(
     then ARock/ADMM rounds (reference d2pgo.cpp:155-328 solve_multi:
     RotInit -> waitForRotInitFinish -> ARockPGO). The rot-init result is
     itself consensus-averaged so all robots start the rounds from a
-    common attitude field.
+    common attitude field; iteration stops when the cross-robot state
+    change drops below ``rot_init_eps`` (the reference's convergence
+    detection, d2pgo.cpp:350-360 — the ROT_INIT_FINISH barrier is the
+    collective itself in SPMD form). ``gravity_body``/``gravity_weight``
+    add the per-frame attitude priors
+    (rotation_initialization_base.hpp:131-144) that keep noisy
+    multi-robot graphs from tilting the gravity gauge.
     """
-    from d2slam_tpu.geometry.lie import quat_normalize
+    from d2slam_tpu.geometry.lie import pose_boxminus, quat_normalize
     from d2slam_tpu.pgo.rot_init import (
         chordal_rotation_init,
         linear_translation_init,
@@ -105,18 +115,30 @@ def distributed_pgo_solve(
         # (reference: every drone's RotInit runs on its full received
         # graph, rotation_initialization_base.hpp)
         act = edges.valid & est_mask[edges.i] & est_mask[edges.j]
-        poses = chordal_rotation_init(
-            poses, state.valid, edges.i, edges.j,
-            quat_normalize(edges.rel[:, 3:]), act, fixed_mask,
-        )
-        # linear position init given the new rotations (reference
-        # solveLinearPose6d after rot-init, RotInit::solve)
-        poses = linear_translation_init(
-            poses, state.valid, edges.i, edges.j, edges.rel[:, :3], act,
-            fixed_mask,
-        )
-        # average the initialized poses across robots
-        poses = consensus_average(poses, est_mask, axis_name)
+        converged = jnp.asarray(False)
+        for _ in range(max(rot_init_rounds, 1)):
+            prev = poses
+            new = chordal_rotation_init(
+                poses, state.valid, edges.i, edges.j,
+                quat_normalize(edges.rel[:, 3:]), act, fixed_mask,
+                gravity_body=gravity_body, gravity_weight=gravity_weight,
+            )
+            # linear position init given the new rotations (reference
+            # solveLinearPose6d after rot-init, RotInit::solve)
+            new = linear_translation_init(
+                new, state.valid, edges.i, edges.j, edges.rel[:, :3], act,
+                fixed_mask,
+            )
+            # average the initialized poses across robots (the sync
+            # point standing in for the ROT_INIT_FINISH barrier)
+            new = consensus_average(new, est_mask, axis_name)
+            poses = jnp.where(converged, prev, new)
+            d = jax.vmap(pose_boxminus)(poses, prev)
+            change = jnp.max(
+                jnp.abs(d) * state.valid[:, None].astype(d.dtype)
+            )
+            change = jax.lax.pmax(change, axis_name)
+            converged = converged | (change < rot_init_eps)
         state = state._replace(poses=poses)
 
     carry = ARockPGOCarry(

@@ -26,9 +26,20 @@ def chordal_rotation_init(
     edge_valid,   # [E] bool
     fixed_mask,   # [N] bool — rotations held at their current value
     fix_weight: float = 100.0,
+    gravity_body=None,   # [N, 3] body-frame gravity direction per frame
+    gravity_weight: float = 0.0,
 ):
     """Returns [N, 7] poses with rotations replaced by the chordal LS
     solution (positions untouched; a subsequent PGO solve handles them).
+
+    ``gravity_body``/``gravity_weight`` add the reference's per-frame
+    gravity-prior rows (rotation_initialization_base.hpp:131-144
+    setupRotInitProblembyGravityPrior): the THIRD row of each R_n —
+    the body-frame direction of world z — is pinned to the VIO
+    ego-attitude's measured gravity direction
+    (``R_ego[2, :]`` = att_odom⁻¹ · ĝ), so noisy loop edges cannot tilt
+    the initialized attitudes out of the gravity-aligned gauge. Only the
+    r=2 row-system is affected; yaw stays free.
     """
     dtype = poses.dtype
     N = poses.shape[0]
@@ -85,20 +96,59 @@ def chordal_rotation_init(
     H = H + jnp.diag(inactive + jnp.asarray(1e-9, dtype))
 
     chol = jax.scipy.linalg.cho_factor(H)
-    X = jax.scipy.linalg.cho_solve(chol, b)  # [3N, 3]; X[3n+i, r] = R_n[r, i]
+    if gravity_weight > 0.0 and gravity_body is not None:
+        # the gravity prior only touches the r=2 row-system, which
+        # therefore gets its own (diagonal-shifted) factorization
+        wg = valid.astype(dtype) * gravity_weight
+        H2 = H + jnp.diag(jnp.repeat(wg, 3))
+        b2 = b[:, 2] + (
+            jnp.asarray(gravity_body, dtype) * wg[:, None]
+        ).reshape(3 * N)
+        X01 = jax.scipy.linalg.cho_solve(chol, b[:, :2])
+        X2 = jax.scipy.linalg.cho_solve(
+            jax.scipy.linalg.cho_factor(H2), b2
+        )
+        X = jnp.concatenate([X01, X2[:, None]], axis=1)
+    else:
+        X = jax.scipy.linalg.cho_solve(chol, b)  # X[3n+i, r] = R_n[r, i]
     R_sol = X.reshape(N, 3, 3).transpose(0, 2, 1)
 
-    # SVD projection to SO(3)
-    def project(R):
-        U, _, Vt = jnp.linalg.svd(R)
-        det = jnp.linalg.det(U @ Vt)
-        S = jnp.diag(jnp.array([1.0, 1.0, 1.0], dtype)).at[2, 2].set(det)
-        return U @ S @ Vt
-
-    R_proj = jax.vmap(project)(R_sol)
+    R_proj = _project_so3(
+        R_sol, gravity_aware=gravity_weight > 0.0 and gravity_body is not None
+    )
     q_new = rotmat_to_quat(R_proj)
     q_out = jnp.where(valid[:, None], q_new, poses[:, 3:])
     return jnp.concatenate([poses[:, :3], q_out], axis=-1)
+
+
+def _project_so3(R_sol, gravity_aware: bool):
+    """Project linear-solution matrices back to SO(3)
+    (reference solveLinearRot:178-215 uses SVD). With gravity priors the
+    plain SVD would smear the noisy-row tilt back into the pinned
+    gravity row (each row is an independent linear system; only row 2
+    carries the prior), so the gravity-aware path orthonormalizes WITH
+    row 2 held fixed: tilt comes from the prior-pinned row, yaw from the
+    other rows — keeping the initialized attitudes gravity-consistent,
+    which is the point of the prior."""
+    dtype = R_sol.dtype
+
+    if not gravity_aware:
+        def project(R):
+            U, _, Vt = jnp.linalg.svd(R)
+            det = jnp.linalg.det(U @ Vt)
+            S = jnp.diag(jnp.array([1.0, 1.0, 1.0], dtype)).at[2, 2].set(det)
+            return U @ S @ Vt
+
+        return jax.vmap(project)(R_sol)
+
+    def project_grav(R):
+        r2 = R[2] / jnp.maximum(jnp.linalg.norm(R[2]), 1e-12)
+        r0 = R[0] - jnp.dot(R[0], r2) * r2
+        r0 = r0 / jnp.maximum(jnp.linalg.norm(r0), 1e-12)
+        r1 = jnp.cross(r2, r0)
+        return jnp.stack([r0, r1, r2])
+
+    return jax.vmap(project_grav)(R_sol)
 
 
 def chordal_rotation_init_pcg(
@@ -111,6 +161,8 @@ def chordal_rotation_init_pcg(
     fix_weight: float = 100.0,
     cg_iters: int = 150,
     cg_rtol: float = 1e-7,
+    gravity_body=None,   # [N, 3] body-frame gravity direction per frame
+    gravity_weight: float = 0.0,
 ):
     """Matrix-free variant of ``chordal_rotation_init`` for large graphs.
 
@@ -146,6 +198,15 @@ def chordal_rotation_init_pcg(
     # RHS from fixed-rotation priors; unknown V[n, i, r] = R_n[r, i]
     b = R0.transpose(0, 2, 1) * wf[:, None, None]  # [N, 3, 3]
 
+    # gravity-prior rows (r=2 system only; see chordal_rotation_init)
+    wg = (valid.astype(dtype) * gravity_weight
+          if gravity_weight > 0.0 and gravity_body is not None
+          else jnp.zeros((N,), dtype))
+    if gravity_weight > 0.0 and gravity_body is not None:
+        b = b.at[:, :, 2].add(jnp.asarray(gravity_body, dtype)
+                              * wg[:, None])
+    grav_diag = jnp.zeros((N, 1, 3), dtype).at[:, 0, 2].set(wg)
+
     def hvp(V):  # V: [N, 3, 3]
         Va, Vb = V[edge_i], V[edge_j]
         out_a = (jnp.einsum("eij,ejr->eir", AtA, Va, precision="highest")
@@ -153,7 +214,7 @@ def chordal_rotation_init_pcg(
         out_b = Vb * w_e[:, None, None] - jnp.einsum("eij,ejr->eir", Aw, Va, precision="highest")
         out = (jax.ops.segment_sum(out_a, edge_i, num_segments=N)
                + jax.ops.segment_sum(out_b, edge_j, num_segments=N))
-        return out + diag_w * V
+        return out + diag_w * V + grav_diag * V
 
     # block-Jacobi preconditioner
     I3 = jnp.eye(3, dtype=dtype)
@@ -193,13 +254,9 @@ def chordal_rotation_init_pcg(
     )
     R_sol = X.transpose(0, 2, 1)  # V[n, i, r] -> R_n[r, i]
 
-    def project(R):
-        U, _, Vt = jnp.linalg.svd(R)
-        det = jnp.linalg.det(U @ Vt)
-        S = jnp.diag(jnp.array([1.0, 1.0, 1.0], dtype)).at[2, 2].set(det)
-        return U @ S @ Vt
-
-    R_proj = jax.vmap(project)(R_sol)
+    R_proj = _project_so3(
+        R_sol, gravity_aware=gravity_weight > 0.0 and gravity_body is not None
+    )
     q_new = rotmat_to_quat(R_proj)
     q_out = jnp.where(valid[:, None], q_new, poses[:, 3:])
     return jnp.concatenate([poses[:, :3], q_out], axis=-1)

@@ -41,6 +41,22 @@ def circle_gt_ramp(t, radius=5.0, omega=0.5, height=2.0, tau=1.0):
     return p, v, a, q, dth
 
 
+def quadcam_extrinsics(n_views: int = 4, radius: float = 0.05) -> np.ndarray:
+    """Ring of outward-facing cameras at equal yaw steps — the virtual
+    pinhole views of a FOURCORNER_FISHEYE rig (reference quadcam:
+    4 fisheyes at 90 deg, undistorted to pinholes by FisheyeUndist)."""
+    R_bc = np.array([[0.0, 0, 1], [-1, 0, 0], [0, -1, 0]])  # fwd-facing
+    out = []
+    for v in range(n_views):
+        yaw = 2 * np.pi * v / n_views
+        c, s = np.cos(yaw), np.sin(yaw)
+        Rz = np.array([[c, -s, 0.0], [s, c, 0.0], [0, 0, 1.0]])
+        q = np_lie.rotmat_to_quat(Rz @ R_bc)
+        p = Rz @ np.array([radius, 0.0, 0.0])
+        out.append(np.concatenate([p, q]))
+    return np.stack(out)
+
+
 def default_extrinsics(baseline=0.1) -> np.ndarray:
     R_bc = np.array([[0.0, 0, 1], [-1, 0, 0], [0, -1, 0]])
     q_bc = np_lie.rotmat_to_quat(R_bc)
@@ -68,6 +84,8 @@ class CircleSim:
         baseline=0.1,
         dynamic_start=False,
         phase=0.0,
+        extrinsics=None,
+        fov_cos=0.7,
     ):
         self.rng = np.random.default_rng(seed)
         ang = self.rng.uniform(0, 2 * np.pi, n_landmarks)
@@ -82,7 +100,11 @@ class CircleSim:
         self.acc_bias = np.asarray(acc_bias)
         self.gyr_bias = np.asarray(gyr_bias)
         self.max_obs = max_obs_per_frame
-        self.ext = default_extrinsics(baseline)
+        self.fov_cos = fov_cos  # cos(half FOV) visibility gate
+        # default stereo rig; pass [C, 7] body_T_cam for other rigs
+        # (e.g. a 4-view quadcam ring, reference FOURCORNER_FISHEYE)
+        self.ext = (np.asarray(extrinsics, np.float64)
+                    if extrinsics is not None else default_extrinsics(baseline))
         self.omega = 0.5
         self.dynamic_start = dynamic_start
         # rigid world-yaw offset of the whole trajectory (multi-drone
@@ -136,14 +158,14 @@ class CircleSim:
         t = frame_id / self.frame_hz
         pose, _ = self.gt_pose(t)
         obs = []
-        for cam in range(2):
+        for cam in range(len(self.ext)):
             T = np_lie.pose_compose(pose, self.ext[cam])
             R = np_lie.quat_to_rotmat(T[3:])
             pc = (self.lms - T[:3]) @ R  # [N,3] in camera frame
             d = np.linalg.norm(pc, axis=1)
             infront = pc[:, 2] > 1.0
-            # field of view gate: within ~45 deg of optical axis
-            fov = pc[:, 2] / np.maximum(d, 1e-9) > 0.7
+            # field of view gate (cos half-angle; default ~45 deg)
+            fov = pc[:, 2] / np.maximum(d, 1e-9) > self.fov_cos
             vis = np.where(infront & fov)[0]
             if len(vis) > self.max_obs:
                 # deterministic subset by id so tracks persist

@@ -189,3 +189,57 @@ def test_linear_translation_init():
                                 edges.rel[:, :3], edges.valid, fixed,
                                 method="cg", cg_iters=400, cg_rtol=1e-12)
     assert np.abs(np.asarray(d)[:n, :3] - np.asarray(c)[:n, :3]).max() < 1e-5
+
+
+def test_chordal_gravity_prior_keeps_tilt_bounded():
+    """Gravity-prior rows (reference setupRotInitProblembyGravityPrior,
+    rotation_initialization_base.hpp:131-144): on a graph with noisy
+    relative rotations, the unconstrained chordal solution tilts
+    roll/pitch; with the per-frame attitude priors from the (gravity-
+    aligned) VIO attitudes the tilt stays bounded. Yaw remains free."""
+    from d2slam_tpu.geometry.lie import quat_to_rotmat
+
+    gt, valid, edges, n = make_loop_graph(rot_noise=0.1, seed=5)
+    rng = np.random.default_rng(2)
+    bad = np.asarray(gt).copy()
+    for k in range(1, n):
+        bad[k, 3:] = np.asarray(
+            so3_exp_quat(jnp.asarray(rng.normal(0, 1.5, 3)))
+        )
+    fixed = jnp.zeros(LAYOUT.N, bool).at[0].set(True)
+    # body-frame gravity direction per frame = third ROW of the GT
+    # attitude (what the VIO's gravity-aligned ego attitude provides)
+    gb = np.stack([
+        np.asarray(quat_to_rotmat(jnp.asarray(q)))[2] for q in gt[:, 3:]
+    ])
+
+    def tilt_deg(out):
+        errs = []
+        for k in range(n):
+            r3 = np.asarray(quat_to_rotmat(out[k, 3:]))[2]
+            errs.append(np.degrees(np.arccos(np.clip(np.dot(r3, gb[k]),
+                                                     -1, 1))))
+        return np.asarray(errs)
+
+    args = (jnp.asarray(bad, jnp.float64), valid, edges.i, edges.j,
+            quat_normalize(edges.rel[:, 3:]), edges.valid, fixed)
+    out_free = chordal_rotation_init(*args)
+    out_grav = chordal_rotation_init(
+        *args, gravity_body=jnp.asarray(gb), gravity_weight=50.0
+    )
+    t_free, t_grav = tilt_deg(np.asarray(out_free)), tilt_deg(np.asarray(out_grav))
+    # the prior must cut the tilt substantially and keep it small
+    assert t_grav.max() < 1.0, f"tilt with prior {t_grav.max():.2f} deg"
+    assert t_grav.max() < 0.5 * max(t_free.max(), 1e-9), (
+        f"prior did not help: {t_free.max():.2f} -> {t_grav.max():.2f}"
+    )
+
+    # matrix-free variant matches the dense gravity-prior solution
+    from d2slam_tpu.pgo import chordal_rotation_init_pcg
+
+    out_pcg = chordal_rotation_init_pcg(
+        *args, gravity_body=jnp.asarray(gb), gravity_weight=50.0,
+        cg_iters=300,
+    )
+    d = np.asarray(jax.vmap(pose_boxminus)(out_pcg, out_grav))[:n]
+    assert np.abs(d[:, 3:]).max() < 2e-3, np.abs(d[:, 3:]).max()

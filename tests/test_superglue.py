@@ -70,3 +70,58 @@ def test_full_depth_smoke():
     )
     assert idx.shape == (24,) and ok.shape == (24,)
     assert np.isfinite(np.asarray(idx)).all()
+
+
+def test_superglue_as_tracker_matcher():
+    """The matcher hook end to end: a FeatureTracker running SuperGlue
+    (random weights, 0 GNN layers so identity sets self-match) instead
+    of NN matching — gated off by default (reference
+    enable_superglue_local)."""
+    from d2slam_tpu.frontend.superglue import make_tracker_matcher
+    from d2slam_tpu.frontend.superpoint import SuperPointOutput
+    from d2slam_tpu.frontend.tracker import FeatureTracker, TrackerConfig
+    from d2slam_tpu.geometry.cameras import PinholeParams
+
+    cfg = SuperGlueConfig(desc_dim=32, num_layers=0, num_heads=4,
+                          sinkhorn_iters=30, match_threshold=0.05)
+    params = superglue_init(jax.random.PRNGKey(1), cfg)
+    matcher = make_tracker_matcher(params, img_hw=(240, 320), cfg=cfg)
+
+    rng = np.random.default_rng(0)
+    N = 24
+    desc = rng.normal(0, 1, (N, 32)).astype(np.float32)
+    desc /= np.linalg.norm(desc, axis=1, keepdims=True)
+    kpts = rng.uniform(20, 220, (N, 2)).astype(np.float32)
+
+    def oracle(img, cam_id, _state={"k": 0}):
+        # same features every frame, slightly shifted (parallax)
+        shift = 6.0 * float(np.asarray(img[0, 0]))
+        return SuperPointOutput(
+            kpts=jnp.asarray(kpts + shift),
+            desc=jnp.asarray(desc),
+            scores=jnp.ones(N),
+            valid=jnp.ones(N, bool),
+        )
+
+    cams = [PinholeParams.make(200.0, 200.0, 160, 120)] * 2
+    tracker = FeatureTracker(
+        None, None, cams,
+        TrackerConfig(min_keyframe_parallax=2.0, use_lk=False,
+                      search_radius=50.0),
+        extract_fn=oracle, matcher_fn=matcher,
+    )
+    assert tracker.matcher_fn is not None  # hook active
+    img0 = np.zeros((240, 320), np.float32)
+    img1 = np.ones((240, 320), np.float32)
+    f0 = tracker.process_stereo(0.0, 0, img0, img0)
+    f1 = tracker.process_stereo(0.2, 1, img1, img1)
+    assert f0 is not None and f1 is not None
+    ids0 = set(f0.observations[0].landmark_ids.tolist())
+    ids1 = set(f1.observations[0].landmark_ids.tolist())
+    # SuperGlue carried the landmark ids across the keyframes
+    assert len(ids0 & ids1) >= N // 2, f"only {len(ids0 & ids1)} matched"
+
+    # default tracker has the hook off
+    t2 = FeatureTracker(None, None, cams, TrackerConfig(),
+                        extract_fn=oracle)
+    assert t2.matcher_fn is None
