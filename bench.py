@@ -90,8 +90,8 @@ def bench_hitnet():
     cfg = HitNetConfig()
     params = hitnet_init(jax.random.PRNGKey(1), cfg)
     rng = np.random.default_rng(1)
-    l = jnp.asarray(rng.uniform(0, 1, (240, 320)), jnp.float32)
-    r = jnp.asarray(rng.uniform(0, 1, (240, 320)), jnp.float32)
+    l = jnp.asarray(rng.uniform(0, 1, (1, 240, 320, 1)), jnp.float32)
+    r = jnp.asarray(rng.uniform(0, 1, (1, 240, 320, 1)), jnp.float32)
     f = jax.jit(lambda a, b: hitnet_apply(params, a, b, cfg))
     ms = _time_ms(f, (l, r), n=30)
     return ms, _cost_flops(f, l, r)

@@ -76,14 +76,34 @@ class LoopDetector:
         self.entries: List[KeyframeEntry] = []
         self.gdesc = np.zeros((cfg.max_db, cfg.gdesc_dim), np.float32)
         self.valid = np.zeros(cfg.max_db, bool)
+        self._next_evict = 0
 
     def add_keyframe(self, entry: KeyframeEntry, gdesc: np.ndarray) -> None:
-        i = len(self.entries)
-        if i >= self.cfg.max_db:
-            return
-        self.entries.append(entry)
+        """Insert into the retrieval DB; when full, evict FIFO (the
+        reference's FAISS IndexFlatIP grows unbounded — a bounded ring
+        keeps long missions from overflowing the fixed device matrix,
+        at the cost of forgetting the oldest places first)."""
+        if len(self.entries) < self.cfg.max_db:
+            i = len(self.entries)
+            self.entries.append(entry)
+        else:
+            i = self._next_evict
+            self._next_evict = (i + 1) % self.cfg.max_db
+            self.entries[i] = entry
         self.gdesc[i] = gdesc
         self.valid[i] = True
+
+    def query_score(self, gdesc: np.ndarray) -> float:
+        """Best retrieval similarity of a global descriptor against the
+        DB — the header-only place-recognition gate of the lazy
+        broadcast protocol (reference getMatchedPrevKeyframe NetVLAD
+        dot-product gate, d2featuretracker.cpp:166-235)."""
+        n = len(self.entries)
+        if n == 0:
+            return -1.0
+        sims = self.gdesc[:n] @ np.asarray(gdesc, np.float32)
+        sims = np.where(self.valid[:n], sims, -1.0)
+        return float(sims.max())
 
     # ------------------------------------------------------------------
 

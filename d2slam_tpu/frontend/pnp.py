@@ -66,6 +66,98 @@ def _angular_errors(T_w_cam, rays, pts_w):
     return err
 
 
+def _ransac_pnp_device_kernel(rays, pts_w, valid, idx, thresh):
+    """All RANSAC hypotheses as ONE batched device program
+    (SURVEY §7 "batched-hypothesis JAX RANSAC"): K 6-point DLTs are a
+    [K, 12, 12] batched SVD, consensus scoring one [K, N] batched
+    angular check — MXU/VPU work instead of a host Python loop.
+
+    rays/pts_w padded to a fixed N with ``valid``; idx [K, 6] sample
+    indices (host-generated). Returns (R_cw [K,3,3], t [K,3],
+    n_inliers [K]).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    X = jnp.concatenate(
+        [pts_w[idx], jnp.ones_like(pts_w[idx][..., :1])], axis=-1
+    )  # [K, 6, 4]
+    r = rays[idx]
+    x, y, z = r[..., 0:1], r[..., 1:2], r[..., 2:3]
+    zero = jnp.zeros_like(X)
+    rows1 = jnp.concatenate([-z * X, zero, x * X], axis=-1)
+    rows2 = jnp.concatenate([zero, -z * X, y * X], axis=-1)
+    A = jnp.concatenate([rows1, rows2], axis=1)  # [K, 12, 12]
+    _, S_A, Vt = jnp.linalg.svd(A)
+    P = Vt[:, -1, :].reshape(-1, 3, 4)
+    R_raw, t_raw = P[:, :, :3], P[:, :, 3]
+    U, S, Vt2 = jnp.linalg.svd(R_raw)
+    det = jnp.linalg.det(jnp.einsum("kij,kjl->kil", U, Vt2))
+    D = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), det], axis=-1)
+    R = jnp.einsum("kij,kj,kjl->kil", U, D, Vt2)
+    scale = jnp.mean(S, axis=-1) * det
+    ok = jnp.abs(scale) > 1e-12
+    t = t_raw / jnp.where(ok, scale, 1.0)[:, None]
+
+    def score(R, t):
+        pc = jnp.einsum("ij,nj->ni", R, pts_w) + t  # [N, 3]
+        nrm = jnp.maximum(jnp.linalg.norm(pc, axis=-1, keepdims=True), 1e-12)
+        err = jnp.linalg.norm(pc / nrm - rays, axis=-1)
+        err = jnp.where(pc[:, 2] > 0, err, jnp.inf)
+        return jnp.sum((err < thresh) & valid), jnp.median(
+            jnp.where(valid, pc[:, 2], 1.0)
+        )
+
+    # cheirality: if most points are behind, flip (the second SVD sign)
+    n_inl, med_z = jax.vmap(score)(R, t)
+    D2 = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), -det], axis=-1)
+    R_f = jnp.einsum("kij,kj,kjl->kil", U, D2, Vt2)
+    flip = med_z < 0
+    R = jnp.where(flip[:, None, None], R_f, R)
+    t = jnp.where(flip[:, None], -t, t)
+    n_inl2, _ = jax.vmap(score)(R, t)
+    n_inl = jnp.where(flip, n_inl2, n_inl) * ok
+    return R, t, n_inl
+
+
+def _ransac_pnp_device(rays, pts_w, thresh, iters, seed):
+    """Device-batched hypothesis search. Returns (T_w_cam or None)."""
+    import jax
+    import jax.numpy as jnp
+
+    n = len(rays)
+    N_pad = max(128, int(2 ** np.ceil(np.log2(n))))
+    rng = np.random.default_rng(seed)
+    idx = np.stack([rng.choice(n, 6, replace=False) for _ in range(iters)])
+    rp = np.zeros((N_pad, 3), np.float32)
+    pp = np.zeros((N_pad, 3), np.float32)
+    rp[:n], pp[:n] = rays, pts_w
+    va = np.zeros(N_pad, bool)
+    va[:n] = True
+
+    global _PNP_KERNEL
+    key = (N_pad, iters, float(thresh))
+    if _PNP_KERNEL.get(key) is None:
+        _PNP_KERNEL[key] = jax.jit(
+            lambda r, p, v, i: _ransac_pnp_device_kernel(
+                r, p, v, i, thresh
+            )
+        )
+    R, t, n_inl = _PNP_KERNEL[key](
+        jnp.asarray(rp), jnp.asarray(pp), jnp.asarray(va), jnp.asarray(idx)
+    )
+    best = int(np.argmax(np.asarray(n_inl)))
+    if int(n_inl[best]) == 0:
+        return None
+    Rb = np.asarray(R[best], np.float64)
+    tb = np.asarray(t[best], np.float64)
+    q = np_lie.rotmat_to_quat(Rb.T)
+    return np.concatenate([-(Rb.T @ tb), q])
+
+
+_PNP_KERNEL: dict = {}
+
+
 def ransac_pnp(
     rays: np.ndarray,        # [N, 3] unit bearings in camera frame
     pts_w: np.ndarray,       # [N, 3] world points
@@ -74,22 +166,34 @@ def ransac_pnp(
     min_inliers: int = 15,
     refine_iters: int = 5,
     seed: int = 0,
+    device: bool = False,
 ) -> Tuple[Optional[np.ndarray], np.ndarray]:
-    """Returns (T_w_cam [7] or None, inlier mask [N])."""
+    """Returns (T_w_cam [7] or None, inlier mask [N]).
+
+    ``device=True`` runs the hypothesis search as one batched jitted
+    program (pads N to a power of two; one compile per (N_pad, iters)
+    bucket) — the path for swarm-scale remote-keyframe verification
+    rates; the host loop remains the no-compile fallback."""
     n = len(rays)
     if n < 8:
         return None, np.zeros(n, bool)
-    rng = np.random.default_rng(seed)
     best_T, best_inl = None, np.zeros(n, bool)
-    for _ in range(iters):
-        idx = rng.choice(n, 6, replace=False)
-        T = _dlt_pose(rays[idx], pts_w[idx])
-        if T is None:
-            continue
-        err = _angular_errors(T, rays, pts_w)
-        inl = err < thresh
-        if inl.sum() > best_inl.sum():
-            best_T, best_inl = T, inl
+    if device:
+        T = _ransac_pnp_device(rays, pts_w, thresh, iters, seed)
+        if T is not None:
+            best_T = T
+            best_inl = _angular_errors(T, rays, pts_w) < thresh
+    else:
+        rng = np.random.default_rng(seed)
+        for _ in range(iters):
+            idx = rng.choice(n, 6, replace=False)
+            T = _dlt_pose(rays[idx], pts_w[idx])
+            if T is None:
+                continue
+            err = _angular_errors(T, rays, pts_w)
+            inl = err < thresh
+            if inl.sum() > best_inl.sum():
+                best_T, best_inl = T, inl
     if best_T is None or best_inl.sum() < min_inliers:
         return None, best_inl
     # refine on inliers: GN on tangent of T_w_cam

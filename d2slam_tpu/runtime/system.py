@@ -238,6 +238,14 @@ class D2SLAMSystem:
             )
             self.loopnet.on_keyframe = self._on_remote_keyframe
             self.loopnet.on_loop_edge = self._on_loop_edge_msg
+            # lazy-mode pull gate: request the full frame when the
+            # header's global descriptor hits our retrieval DB
+            # (reference matched-frame exchange: onImgDescHeaderRecevied
+            # -> getMatchedPrevKeyframe NetVLAD gate)
+            self.loopnet.want_full = lambda pkt: (
+                self.detector.query_score(pkt.gdesc)
+                > self.detector.cfg.netvlad_thres
+            )
             if sys_cfg.enable_dpgo:
                 from d2slam_tpu.pgo.dpgo_transport import (
                     DPGOTransportConfig,

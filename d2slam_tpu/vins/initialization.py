@@ -82,27 +82,91 @@ def _sampson_like_err(E, r1, r2):
     return num / np.maximum(den, 1e-12)
 
 
+_ESSENTIAL_KERNEL: dict = {}
+
+
+def _essential_ransac_device(rays1, rays2, thresh, iters, seed):
+    """All 8-point hypotheses as one batched jitted program
+    (SURVEY §7 batched-hypothesis RANSAC): [K, 8, 9] coefficient
+    matrices -> batched SVD -> rank-2 projection -> one [K, N]
+    Sampson-gate GEMM. Returns the best hypothesis's inlier mask."""
+    import jax
+    import jax.numpy as jnp
+
+    n = len(rays1)
+    N_pad = max(128, int(2 ** np.ceil(np.log2(n))))
+    rng = np.random.default_rng(seed)
+    idx = np.stack([rng.choice(n, 8, replace=False) for _ in range(iters)])
+    r1 = np.zeros((N_pad, 3), np.float32)
+    r2 = np.zeros((N_pad, 3), np.float32)
+    r1[:n], r2[:n] = rays1, rays2
+    va = np.zeros(N_pad, bool)
+    va[:n] = True
+
+    def kernel(r1, r2, valid, idx):
+        a, b = r1[idx], r2[idx]                       # [K, 8, 3]
+        A = jnp.einsum("kni,knj->knij", b, a).reshape(-1, 8, 9)
+        _, _, Vt = jnp.linalg.svd(A)
+        E = Vt[:, -1, :].reshape(-1, 3, 3)
+        U, S, Vt2 = jnp.linalg.svd(E)
+        s = (S[:, 0] + S[:, 1]) / 2
+        D = jnp.stack([s, s, jnp.zeros_like(s)], axis=-1)
+        E = jnp.einsum("kij,kj,kjl->kil", U, D, Vt2)  # rank-2 projection
+
+        def sampson(E):
+            Ex1 = r1 @ E.T
+            x2E = r2 @ E
+            num = jnp.abs(jnp.sum(r2 * Ex1, axis=1))
+            den = jnp.sqrt(Ex1[:, 0] ** 2 + Ex1[:, 1] ** 2
+                           + x2E[:, 0] ** 2 + x2E[:, 1] ** 2)
+            return num / jnp.maximum(den, 1e-12)
+
+        errs = jax.vmap(sampson)(E)                   # [K, N]
+        counts = jnp.sum((errs < thresh) & valid[None, :], axis=1)
+        best = jnp.argmax(counts)
+        return (errs[best] < thresh) & valid, counts[best]
+
+    key = (N_pad, iters, float(thresh))
+    if _ESSENTIAL_KERNEL.get(key) is None:
+        _ESSENTIAL_KERNEL[key] = jax.jit(kernel)
+    inl, cnt = _ESSENTIAL_KERNEL[key](
+        jnp.asarray(r1), jnp.asarray(r2), jnp.asarray(va), jnp.asarray(idx)
+    )
+    return np.asarray(inl)[:n], int(cnt)
+
+
 def solve_relative_pose(
     rays1: np.ndarray, rays2: np.ndarray,
     thresh: float = 1e-3, iters: int = 100, seed: int = 0,
+    device: bool = False,
 ) -> Tuple[Optional[np.ndarray], Optional[np.ndarray], np.ndarray]:
     """RANSAC essential-matrix relative pose (reference
     MotionEstimator::solveRelativeRT). Returns (R [3,3], t unit [3],
-    inlier mask) with x2 ~ R x1 + t (translation scale free)."""
+    inlier mask) with x2 ~ R x1 + t (translation scale free).
+
+    ``device=True`` runs the hypothesis search as one batched jitted
+    program (one compile per (N_pad, iters) bucket)."""
     n = len(rays1)
     if n < 10:
         return None, None, np.zeros(n, bool)
-    rng = np.random.default_rng(seed)
     best_inl = np.zeros(n, bool)
     best_E = None
-    for _ in range(iters):
-        idx = rng.choice(n, 8, replace=False)
-        E = _essential_from_8pt(rays1[idx], rays2[idx])
-        if E is None:
-            continue
-        inl = _sampson_like_err(E, rays1, rays2) < thresh
-        if inl.sum() > best_inl.sum():
-            best_inl, best_E = inl, E
+    if device:
+        inl, cnt = _essential_ransac_device(rays1, rays2, thresh, iters,
+                                            seed)
+        if cnt >= 8:
+            best_inl = inl
+            best_E = _essential_from_8pt(rays1[inl], rays2[inl])
+    else:
+        rng = np.random.default_rng(seed)
+        for _ in range(iters):
+            idx = rng.choice(n, 8, replace=False)
+            E = _essential_from_8pt(rays1[idx], rays2[idx])
+            if E is None:
+                continue
+            inl = _sampson_like_err(E, rays1, rays2) < thresh
+            if inl.sum() > best_inl.sum():
+                best_inl, best_E = inl, E
     if best_E is None or best_inl.sum() < 10:
         return None, None, best_inl
     E = _essential_from_8pt(rays1[best_inl], rays2[best_inl])

@@ -39,6 +39,10 @@ def main():
                     "extrinsic_parameter_type; 0 inverts)")
     ap.add_argument("--sp-weights", default="")
     ap.add_argument("--out", default="")
+    ap.add_argument("--dry-run", action="store_true",
+                    help="validate the real-data path (calib load -> "
+                         "undistort/lift -> track -> solve) on a few "
+                         "frames and exit")
     ap.add_argument("--imu-topic", default="/imu0")
     ap.add_argument("--cam-topics", nargs="+",
                     default=["/cam0/image_raw", "/cam1/image_raw"])
@@ -171,6 +175,10 @@ def main():
             stamps.append(t)
             poses.append(od.pose)
         n_done += 1
+        if args.dry_run and n_done >= 6:
+            print("dry-run: calib -> track -> solve path OK "
+                  f"({n_done} frames, {est.solve_count} solves)")
+            break
         if args.frames and n_done >= args.frames:
             break
 

@@ -44,6 +44,13 @@ def test_essential_relative_pose():
     t_unit = t12 / np.linalg.norm(t12)
     assert abs(float(t @ t_unit)) > 0.999
 
+    # batched-hypothesis device RANSAC finds the same solution
+    Rd, td, inl_d = solve_relative_pose(r1, r2, thresh=1e-4, device=True)
+    assert Rd is not None
+    assert inl_d.sum() >= 50 and not inl_d[:6].any()
+    np.testing.assert_allclose(Rd, R12, atol=1e-3)
+    assert abs(float(td @ t_unit)) > 0.999
+
 
 def test_gyro_bias_and_alignment():
     from d2slam_tpu.imu import default_noise_matrix, preintegrate

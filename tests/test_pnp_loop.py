@@ -130,3 +130,32 @@ def test_loop_detector_end_to_end():
     g_other = rng.normal(0, 1, 4096).astype(np.float32)
     g_other /= np.linalg.norm(g_other)
     assert det.detect(entry, g_other) is None
+
+
+def test_ransac_pnp_device_matches_host():
+    """Batched-hypothesis device RANSAC (one jitted program for all
+    hypotheses, SURVEY §7) recovers the same pose as the host loop."""
+    T, rays, pts_w, bad = make_pnp_scene(seed=4)
+    Th, inl_h = ransac_pnp(rays, pts_w, thresh=2e-3, min_inliers=20)
+    Td, inl_d = ransac_pnp(rays, pts_w, thresh=2e-3, min_inliers=20,
+                           device=True)
+    assert Th is not None and Td is not None
+    np.testing.assert_allclose(Td[:3], T[:3], atol=0.02)
+    dq = np_lie.quat_mul(np_lie.quat_conj(Td[3:]), T[3:])
+    assert abs(dq[3]) > 0.9999, f"device rot off: {Td}"
+    # inlier masks agree on the ground-truth outliers
+    assert not inl_d[bad].any()
+    assert inl_d.sum() >= inl_h.sum() - 3
+
+
+def test_ransac_pnp_body_device():
+    """Non-central (multi-camera) PnP through the device path."""
+    T, rays, pts_w, bad = make_pnp_scene(n=80, outliers=8, seed=9)
+    ext = default_extrinsics(baseline=0.2)
+    # treat all bearings as cam0 observations of the BODY at T*inv(ext0)
+    T_body = np_lie.pose_compose(T, np_lie.pose_inverse(ext[0]))
+    cam_idx = np.zeros(len(rays), np.int32)
+    Tb, inl = ransac_pnp_body(rays, cam_idx, ext, pts_w, thresh=2e-3,
+                              min_inliers=20, device=True)
+    assert Tb is not None
+    np.testing.assert_allclose(Tb[:3], T_body[:3], atol=0.02)

@@ -170,6 +170,89 @@ def test_two_robot_swarm_loop_and_alignment():
 
 
 @pytest.mark.slow
+def test_lazy_broadcast_pull_and_nearby_escalation():
+    """Lazy (compact) broadcast protocol end to end (reference
+    lazy_broadcast_keyframe + the matched-frame exchange and the
+    nearby-drone escalation, d2vins_node.cpp:177-199):
+    * far drones exchange HEADERS only;
+    * a header that hits the receiver's place-recognition gate pulls
+      the full frame (request -> serve), enabling inter-drone loops;
+    * drones the PGO data says are NEAR get full frames directly."""
+    from d2slam_tpu.comm.transport import (
+        CH_VIOKF_HEADER,
+        CH_VIOKF_LANDMARKS,
+    )
+
+    bus = LocalBus()
+    sim_a = CircleSim(n_landmarks=N_LM, seed=3, phase=0.0)
+    sim_b = CircleSim(n_landmarks=N_LM, seed=3, phase=0.25)
+    ta, tb = bus.endpoint(0), bus.endpoint(1)
+
+    # count what robot A actually puts on the wire per channel
+    sent_by_channel = {}
+    orig_send = ta.send
+
+    def counting_send(ch, data):
+        sent_by_channel[ch] = sent_by_channel.get(ch, 0) + 1
+        orig_send(ch, data)
+
+    ta.send = counting_send
+    sys_a = make_system(0, sim_a, transport=ta, lazy_broadcast=True,
+                        nearby_distance=0.0)  # nobody is "near" yet
+    sys_b = make_system(1, sim_b, transport=tb, lazy_broadcast=True,
+                        nearby_distance=0.0)
+
+    for s, sim in ((sys_a, sim_a), (sys_b, sim_b)):
+        for (t, a, g) in sim.imu_samples(-0.3, 0.0):
+            s.input_imu(t, a, g)
+    t_prev = 0.0
+    for k in range(14):
+        t = k / sim_a.frame_hz
+        for s, sim in ((sys_a, sim_a), (sys_b, sim_b)):
+            if k > 0:
+                for (ts, a, g) in sim.imu_samples(t_prev + 1e-6, t + 1e-6):
+                    s.input_imu(ts, a, g)
+            ff = sim.frame(k)
+            pose_hint = s.odometry.pose if s.odometry is not None \
+                else np.array([0, 0, 0, 0, 0, 0, 1.0])
+            s.input_frame(
+                ff, gdesc=bag_gdesc(ff.observations[0].landmark_ids),
+                kf_entry=make_entry(ff, s.drone_id, pose_hint),
+            )
+        t_prev = t
+        sys_a.poll_network(now=t)
+        sys_b.poll_network(now=t)
+
+    # phase 1: lazy mode broadcast headers; full frames went out ONLY
+    # as answers to pull requests (the matched-frame exchange)
+    n_headers = sent_by_channel.get(CH_VIOKF_HEADER, 0)
+    n_full_phase1 = sent_by_channel.get(CH_VIOKF_LANDMARKS, 0)
+    assert n_headers >= 8, f"lazy mode sent {n_headers} headers"
+    assert n_full_phase1 >= 1, "place-recognition pull never fired"
+    assert n_full_phase1 < n_headers, "lazy mode degenerated to greedy"
+    # the pulled frames produced inter-drone loops
+    inter = [e for e in sys_b.loop_edges if e.drone_id_a != e.drone_id_b]
+    assert inter, "no inter-drone loop through the lazy pull path"
+
+    # phase 2: PGO says drone 1 is near -> full frames go out directly
+    sys_a.sys.nearby_distance = 1e6
+    assert 1 in sys_a.nearby_drones(t_prev), "nearby gate did not fire"
+    before = sent_by_channel.get(CH_VIOKF_LANDMARKS, 0)
+    for k in range(14, 18):
+        t = k / sim_a.frame_hz
+        for (ts, a, g) in sim_a.imu_samples(t_prev + 1e-6, t + 1e-6):
+            sys_a.input_imu(ts, a, g)
+        t_prev = t
+        ff = sim_a.frame(k)
+        sys_a.input_frame(
+            ff, gdesc=bag_gdesc(ff.observations[0].landmark_ids),
+            kf_entry=make_entry(ff, 0, sys_a.odometry.pose),
+        )
+    gained = sent_by_channel.get(CH_VIOKF_LANDMARKS, 0) - before
+    assert gained >= 3, f"nearby escalation sent only {gained} full frames"
+
+
+@pytest.mark.slow
 def test_two_robot_transport_dpgo():
     """Transport-based distributed PGO at the system level (reference
     ARockPGO -> d2comm -> PGO_Sync_Data): loops broadcast on
