@@ -48,6 +48,10 @@ class EstimatorConfig:
     estimation_mode: str = "single"        # single | distributed | server
     landmark_param: str = "inv_dep"        # inv_dep | pos3d (reference
     #                                        landmark_param, d2vins_params.hpp:70-73)
+    remove_base_when_margin_remote: int = 2  # 0: drop observer-removed rows of
+    #   kept-anchor landmarks; 2 (reference default, d2vins_params.hpp:108):
+    #   include those rows and Schur-eliminate the landmark into the prior
+    #   (ParamResidualInfo.hpp:27, marginalization.cpp:106)
     solver_method: str = "lm"              # lm | dogleg (Ceres trust-region strategies)
     cholesky_refine_steps: int = 0         # iterative refinement (use 1 with float32)
     consensus_max_steps: int = 1

@@ -212,6 +212,14 @@ class DPGOTransportConfig:
     max_wait_steps: int = 5      # skip-if-stale budget (ARock.cpp:146-162)
     iters_per_step: int = 6      # inner LM iterations
     huber_delta: float = 1.0
+    # local-solve precision. The transport endpoint is the multi-process
+    # host path (one robot = one CPU process, like the reference's
+    # Ceres/f64 d2pgo_node); in float32 the per-round cost improvement
+    # from slow ARock dual drift falls below the cost scalar's
+    # resolution, the LM accept-gate rejects every step and the primal
+    # freezes while duals drift — so float64 is the default. Use
+    # float32 only where x64 is unavailable (on-TPU endpoints).
+    solve_dtype: str = "float64"
     # chordal rotation initialization before the first ARock round
     # (reference solve_multi: RotInit -> waitForRotInitFinish -> ARock)
     rot_init: bool = True
@@ -393,6 +401,68 @@ class TransportDPGO:
 
     # ---------------- the solve ----------------
 
+    def _maybe_rot_init(self) -> None:
+        """Chordal attitude + linear position initialization on the
+        local graph BEFORE the first ARock round — and before any dual
+        states are created, so duals (ours and the first values we
+        broadcast to peers) initialize at post-init estimates, matching
+        the reference's ordering (solve_multi: RotInit →
+        waitForRotInitFinish barrier → ARock, d2pgo.cpp:155-328)."""
+        cfg = self.cfg
+        if not cfg.rot_init or self._rot_inited or len(self.edges) < 3:
+            return
+        import jax.numpy as jnp
+
+        from d2slam_tpu.geometry.lie import quat_normalize
+        from d2slam_tpu.pgo.rot_init import (
+            chordal_rotation_init,
+            linear_translation_init,
+        )
+
+        n = len(self.keys)
+        valid = np.zeros(cfg.max_poses, bool)
+        valid[:n] = True
+        E = cfg.max_edges
+        ei = np.zeros(E, np.int32)
+        ej = np.zeros(E, np.int32)
+        rel = np.tile([0, 0, 0, 0, 0, 0, 1.0], (E, 1))
+        ev = np.zeros(E, bool)
+        for x, (ka, kb, r, _) in enumerate(self.edges[:E]):
+            ei[x], ej[x], rel[x], ev[x] = (
+                self.slot_of[ka], self.slot_of[kb], r, True
+            )
+        # the init runs before any ARock duals exist, so unlike the
+        # ARock gauge (main robot only, d2pgo.cpp:602-614) EVERY robot
+        # must anchor its local init — an unanchored chordal LS
+        # collapses to the trivial zero solution. Anchor at the main
+        # (lowest-owner) robot's first frame so the local gauges agree
+        # across the swarm; the reference gets the same effect from the
+        # rot-init's exchanged ROT_MAT duals
+        # (rotation_initialization_arock.hpp).
+        init_fixed = np.zeros(cfg.max_poses, bool)
+        owners = set(self.owner.values())
+        main = min(owners) if owners else self.self_id
+        for slot, k in enumerate(self.keys):
+            if self.owner[k] == main:
+                init_fixed[slot] = True
+                break
+
+        p = chordal_rotation_init(
+            jnp.asarray(self.poses), jnp.asarray(valid),
+            jnp.asarray(ei), jnp.asarray(ej),
+            quat_normalize(jnp.asarray(rel[:, 3:])),
+            jnp.asarray(ev), jnp.asarray(init_fixed),
+            gravity_body=jnp.asarray(self.grav_body),
+            gravity_weight=cfg.gravity_weight,
+        )
+        p = linear_translation_init(
+            p, jnp.asarray(valid), jnp.asarray(ei), jnp.asarray(ej),
+            jnp.asarray(rel[:, :3]), jnp.asarray(ev),
+            jnp.asarray(init_fixed),
+        )
+        self.poses[:n] = np.asarray(p, np.float64)[:n]
+        self._rot_inited = True
+
     def _local_solve(self) -> None:
         import functools
 
@@ -412,15 +482,24 @@ class TransportDPGO:
         n = len(self.keys)
         valid = np.zeros(cfg.max_poses, bool)
         valid[:n] = True
-        # gauge: the main robot (lowest known owner id) fixes the first
-        # frame it owns (reference setStateProperties, d2pgo.cpp:602-614)
+        # gauge: the main robot (lowest known owner id) hard-fixes the
+        # first frame it owns (reference setStateProperties,
+        # d2pgo.cpp:602-614). Non-main robots must NOT hard-fix their
+        # local estimate of that frame — it may be wrong (drifted VIO
+        # ingest) and the ARock duals are what correct it — but with
+        # nothing fixed their local problem floats in its 6-DoF gauge
+        # null space, so they get a SOFT self-anchor on the main frame
+        # below (added to the dual-anchor rows).
         fixed = np.zeros(cfg.max_poses, bool)
         owners = set(self.owner.values())
-        if owners and self.self_id == min(owners):
-            for slot, k in enumerate(self.keys):
-                if self.owner[k] == self.self_id:
-                    fixed[slot] = True
-                    break
+        main = min(owners) if owners else self.self_id
+        main_slot = -1
+        for slot, k in enumerate(self.keys):
+            if self.owner[k] == main:
+                main_slot = slot
+                break
+        if self.self_id == main and main_slot >= 0:
+            fixed[main_slot] = True
 
         E = cfg.max_edges
         ei = np.zeros(E, np.int32)
@@ -437,52 +516,38 @@ class TransportDPGO:
         ai = np.zeros(K, np.int32)
         ap = np.tile([0, 0, 0, 0, 0, 0, 1.0], (K, 1))
         aa = np.zeros(K, bool)
-        for x, (pair, dr) in enumerate(self.dual_remote.items()):
+        x = 0
+        for pair, dr in self.dual_remote.items():
             if x >= K:
                 break
             ai[x], ap[x], aa[x] = self.slot_of[pair[1]], dr, True
+            x += 1
+        if self.self_id != main and main_slot >= 0 and x < K:
+            # soft gauge anchor: the main frame at the robot's CURRENT
+            # estimate. Zero force at the current point — it only adds
+            # curvature that pins the otherwise-zero-stiffness gauge
+            # null space; the regular dual anchors remain free to move
+            # the frame across rounds.
+            ai[x] = main_slot
+            ap[x] = self.poses[main_slot]
+            aa[x] = True
 
-        if cfg.rot_init and not self._rot_inited and len(self.edges) >= 3:
-            # chordal attitude + linear position initialization on the
-            # local graph before the first ARock round (reference
-            # RotInit stage of solve_multi, d2pgo.cpp:155-328)
-            from d2slam_tpu.geometry.lie import quat_normalize
-            from d2slam_tpu.pgo.rot_init import (
-                chordal_rotation_init,
-                linear_translation_init,
-            )
-
-            p = chordal_rotation_init(
-                jnp.asarray(self.poses), jnp.asarray(valid),
-                jnp.asarray(ei), jnp.asarray(ej),
-                quat_normalize(jnp.asarray(rel[:, 3:])),
-                jnp.asarray(ev), jnp.asarray(fixed),
-                gravity_body=jnp.asarray(self.grav_body),
-                gravity_weight=cfg.gravity_weight,
-            )
-            p = linear_translation_init(
-                p, jnp.asarray(valid), jnp.asarray(ei), jnp.asarray(ej),
-                jnp.asarray(rel[:, :3]), jnp.asarray(ev),
-                jnp.asarray(fixed),
-            )
-            self.poses[:n] = np.asarray(p, np.float64)[:n]
-            self._rot_inited = True
-
+        dt = jnp.dtype(cfg.solve_dtype)
         state = PGOState(
-            poses=jnp.asarray(self.poses, jnp.float32),
+            poses=jnp.asarray(self.poses, dt),
             valid=jnp.asarray(valid),
         )
         edges = PGOEdges(
             i=jnp.asarray(ei), j=jnp.asarray(ej),
-            rel=jnp.asarray(rel, jnp.float32),
-            sqrt_info=jnp.asarray(si, jnp.float32),
+            rel=jnp.asarray(rel, dt),
+            sqrt_info=jnp.asarray(si, dt),
             valid=jnp.asarray(ev),
         )
         out, report = self._solver(
             state, edges, jnp.asarray(fixed), jnp.asarray(ai),
-            jnp.asarray(ap, jnp.float32), jnp.asarray(aa),
+            jnp.asarray(ap, dt), jnp.asarray(aa),
         )
-        opt = np.asarray(out.poses, np.float64)
+        opt = np.array(out.poses, np.float64)  # copy: jax arrays are read-only views
         opt[:n, 3:] /= np.linalg.norm(opt[:n, 3:], axis=1, keepdims=True)
         self.poses[:n] = opt[:n]
         self.last_report = report
@@ -500,6 +565,7 @@ class TransportDPGO:
                 if total > self.cfg.max_wait_steps + self.cfg.max_steps:
                     break  # exceeded max_wait_steps — give up this round
                 continue
+            self._maybe_rot_init()
             self._scan_duals()
             self._local_solve()
             self.updated = False

@@ -16,11 +16,18 @@ blocks via a masked dense Schur step; the (H,g) result is converted to
 prior rows J,r with an eigendecomposition square root (rank-revealing,
 rows below threshold masked out).
 
-Policy note: projection rows whose *observer* is removed but whose
-anchor survives are dropped (their landmark keeps its other
-observations). This matches the reference with
-``remove_base_when_margin_remote=false`` for the common VINS case where
-anchors are the landmark's oldest observation.
+Observer-removed rows of kept-anchor landmarks follow the reference's
+``remove_base_when_margin_remote`` modes (d2vins_params.hpp:108 default
+2; ParamResidualInfo.hpp:27 relavant(); marginalization.cpp:94-108):
+  * mode 0: only rows whose anchor frame is removed enter — rows whose
+    observer alone is removed are dropped (their landmark keeps its
+    other observations, losing that information);
+  * mode 2 (default): rows whose anchor OR observer is removed enter,
+    and every landmark those rows touch is Schur-eliminated into the
+    prior — kept-anchor landmarks' removed-observer information is
+    absorbed as correlation between the kept frames. The landmark
+    itself remains live in the estimator with its surviving
+    observations (no base-frame removal, mode 1).
 """
 from __future__ import annotations
 
@@ -53,6 +60,7 @@ def marginalize(
     huber_delta: float = 1.0,
     eig_eps: float = 1e-8,
     landmark_param: str = "inv_dep",
+    remove_base_mode: int = 2,
 ) -> PriorBlock:
     """Marginalize the frames marked in ``remove_frames`` into a new prior.
 
@@ -69,8 +77,14 @@ def marginalize(
         remove_frames[proj.frame_i] & proj.valid
     )
     imu_touch = remove_frames[imu.frame_i] | remove_frames[imu.frame_j]
-    proj_touch = lm_anchor_removed[proj.lm]
-    # drop observer-removed rows of kept-anchor landmarks entirely:
+    if remove_base_mode == 0:
+        # drop observer-removed rows of kept-anchor landmarks entirely
+        proj_touch = lm_anchor_removed[proj.lm]
+    else:
+        # reference default (mode 2): any row touching a removed frame
+        # enters; its landmark is Schur-eliminated below regardless of
+        # where its anchor lives (ParamResidualInfo.hpp relavant())
+        proj_touch = remove_frames[proj.frame_i] | remove_frames[proj.frame_j]
     proj_sel = proj._replace(valid=proj.valid & proj_touch)
     imu_sel = imu._replace(valid=imu.valid & imu_touch)
 
@@ -90,9 +104,11 @@ def marginalize(
     H = rows.J.T @ rows.J
     g = rows.J.T @ rows.r
 
-    # --- eliminate removed landmarks (block Schur) -------------------------
-    # all touched projection rows reference removed-anchor landmarks, so
-    # every nonzero landmark column here is a removed one.
+    # --- eliminate touched landmarks (block Schur) -------------------------
+    # every landmark column appearing in the selected rows is eliminated:
+    # removed-anchor landmarks always, and (mode 2) kept-anchor landmarks
+    # seen by a removed observer — matching marginalization.cpp:94-108
+    # where LANDMARK params get is_remove=remove_base_when_margin_remote.
     if pos3d:
         Jl = rows.Jl  # [N, 3]
         hll3 = jnp.zeros((L, 3, 3), dtype).at[rows.lm].add(

@@ -125,6 +125,7 @@ class D2Estimator:
                 dep_sqrt_info=e.depth_sqrt_inf,
                 huber_delta=e.huber_delta,
                 landmark_param=e.landmark_param,
+                remove_base_mode=e.remove_base_when_margin_remote,
             )
         )
         self._preintegrate = jax.jit(

@@ -99,11 +99,14 @@ def _centralized(gt, init, ego, loops):
     fixed[slot[gid(0, 0)]] = True
     out, _ = solve_pgo(
         layout,
-        PGOState(jnp.asarray(poses, jnp.float32), jnp.asarray(valid)),
+        PGOState(jnp.asarray(poses), jnp.asarray(valid)),
         PGOEdges(jnp.asarray(ei), jnp.asarray(ej),
-                 jnp.asarray(rel, jnp.float32), jnp.asarray(si, jnp.float32),
+                 jnp.asarray(rel), jnp.asarray(si),
                  jnp.asarray(ev)),
-        jnp.asarray(fixed), max_iters=12,
+        # huber_delta must match DPGOTransportConfig.huber_delta — the
+        # endpoints and this centralized reference must minimize the
+        # SAME objective for the comparison to be meaningful
+        jnp.asarray(fixed), max_iters=30, huber_delta=1.0,
     )
     res = np.asarray(out.poses, np.float64)
     return {k: res[slot[k]] for k in keys}

@@ -132,3 +132,99 @@ def test_permute_prior_frames():
         np.asarray(pr2.lin.poses[0]), np.asarray(pr.lin.poses[1]), atol=0
     )
     assert not bool(pr2.lin.frame_valid[5])
+
+
+def _brute_force_marginal(layout, state, imu_sel, proj_sel, prior, remove, g, psi):
+    """Reference implementation: dense joint Schur over [removed frame
+    dims + touched landmark cols] computed with explicit numpy algebra
+    from the same row builders."""
+    from d2slam_tpu.solver.vio_assembly import (
+        assemble_full_rows, build_imu_rows, build_prior_rows, build_proj_rows,
+    )
+
+    blocks = [
+        build_imu_rows(LAYOUT, state, imu_sel, g),
+        build_proj_rows(LAYOUT, state, proj_sel, psi, 20.0, 1.0),
+        build_prior_rows(LAYOUT, state, prior),
+    ]
+    rows = assemble_full_rows(tuple(blocks))
+    J = np.asarray(rows.J)
+    r = np.asarray(rows.r)
+    Jl = np.asarray(rows.Jl)
+    lm = np.asarray(rows.lm)
+    used = np.asarray(rows.lm_used)
+    N, D = J.shape
+    L = layout.L
+    Jfull = np.zeros((N, D + L))
+    Jfull[:, :D] = J
+    Jfull[np.arange(N), D + lm] += Jl * used
+    H = Jfull.T @ Jfull
+    g_vec = Jfull.T @ r
+    elim = np.zeros(D + L, bool)
+    for w in range(layout.W):
+        if remove[w]:
+            elim[15 * w : 15 * w + 15] = True
+    lm_touched = np.zeros(L, bool)
+    lm_touched[lm[used & (np.abs(Jl) > 0)]] = True
+    elim[D:] = lm_touched
+    k = ~elim
+    Hee = H[np.ix_(elim, elim)] + 1e-10 * np.eye(elim.sum())
+    Hke = H[np.ix_(k, elim)]
+    X = np.linalg.solve(Hee, Hke.T)
+    Hred = H[np.ix_(k, k)] - Hke @ X
+    gred = g_vec[k] - Hke @ np.linalg.solve(Hee, g_vec[elim])
+    # scatter back into [D | L]; landmark keep-cols have zero rows
+    Hout = np.zeros((D + L, D + L))
+    Hout[np.ix_(k, k)] = Hred
+    gout = np.zeros(D + L)
+    gout[k] = gred
+    return Hout[:D, :D], gout[:D]
+
+
+def test_remove_base_mode2_matches_brute_force():
+    """Mode 2 (reference default remove_base_when_margin_remote=2,
+    d2vins_params.hpp:108): observer-removed rows of kept-anchor
+    landmarks enter the marginalization and their landmarks are
+    Schur-eliminated. The masked fixed-shape kernel must equal an
+    explicit dense joint Schur complement, and must carry strictly more
+    information than mode 0 (which drops those rows)."""
+    scene = make_circle_scene(
+        LAYOUT, n_frames=6, n_landmarks=40, pix_noise_rad=0.5 / 460.0, seed=7
+    )
+    gt = scene["gt_state"]
+    g = scene["gravity"]
+    prior0 = make_pose_prior(LAYOUT, gt, frame=0)
+    # remove a MIDDLE frame: landmarks anchored at frame 0 observed by
+    # frame 2 are the kept-anchor/removed-observer case
+    remove = jnp.zeros(LAYOUT.W, bool).at[2].set(True)
+    imu, proj = scene["imu"], scene["proj"]
+
+    priors = {}
+    for mode in (0, 2):
+        priors[mode] = marginalize(
+            LAYOUT, gt, imu, proj, prior0, remove,
+            gravity=g, proj_sqrt_info=PSI, remove_base_mode=mode,
+        )
+
+    H = {m: np.asarray(p.J).T @ np.asarray(p.J) for m, p in priors.items()}
+    gv = {m: np.asarray(p.J).T @ np.asarray(p.r) for m, p in priors.items()}
+
+    # mode 2 keeps information mode 0 drops
+    assert np.trace(H[2]) > np.trace(H[0]) * 1.0001
+
+    # brute force with the mode-2 row selection
+    remove_np = np.asarray(remove)
+    pm = {k: np.asarray(v) for k, v in proj._asdict().items()}
+    touch = remove_np[pm["frame_i"]] | remove_np[pm["frame_j"]]
+    proj_sel = proj._replace(valid=proj.valid & jnp.asarray(touch))
+    imu_touch = (remove_np[np.asarray(imu.frame_i)]
+                 | remove_np[np.asarray(imu.frame_j)])
+    imu_sel = imu._replace(valid=imu.valid & jnp.asarray(imu_touch))
+    Hb, gb = _brute_force_marginal(
+        LAYOUT, gt, imu_sel, proj_sel, prior0, remove_np, g, PSI
+    )
+    scale = max(np.abs(Hb).max(), 1.0)
+    np.testing.assert_allclose(H[2], Hb, atol=2e-6 * scale)
+    np.testing.assert_allclose(
+        gv[2], gb, atol=2e-6 * max(np.abs(gb).max(), 1.0)
+    )
