@@ -43,6 +43,11 @@ from d2slam_tpu.utils import np_lie
 DPGO_POSE_DUAL = 0
 DPGO_ROT_MAT_DUAL = 1
 DPGO_DELTA_POSE_DUAL = 2
+# out-of-band signal message (reference sendSignal -> swarm_msgs
+# DPGOSignal topic -> inputDPGOsignal, d2pgo.cpp:124-129); the signal
+# code rides in the ``iteration`` header field, payload is empty
+DPGO_SIGNAL = 3
+SIGNAL_ROT_INIT_FINISH = 1
 
 _HDR = struct.Struct("<BHhiBdiH")  # ver, drone, target, ref_frame, type,
 #                                    stamp, iteration, n_frames
@@ -223,6 +228,11 @@ class DPGOTransportConfig:
     # chordal rotation initialization before the first ARock round
     # (reference solve_multi: RotInit -> waitForRotInitFinish -> ARock)
     rot_init: bool = True
+    # ROT_INIT_FINISH barrier: after local rot-init, skip ARock rounds
+    # until every robot in available_robots has signalled (reference
+    # waitForRotInitFinish, d2pgo.cpp:130-153) or this many rounds have
+    # been skipped (reference rot_init_timeout)
+    rot_init_timeout_rounds: int = 20
     # per-frame attitude priors in the rot-init (reference
     # rotation_initialization_base.hpp:131-144; 0 disables)
     gravity_weight: float = 0.0
@@ -269,6 +279,13 @@ class TransportDPGO:
         self._solver = None
         self._inbox: List[DPGOData] = []
         self.last_report = None
+        # ROT_INIT_FINISH barrier state (reference d2pgo.h:36,58 —
+        # available_robots defaults to {self}; the multi-agent driver
+        # widens it via setAvailableRobots)
+        self.available_robots = {int(self_id)}
+        self.rot_init_finished_robots: set = set()
+        self._rot_barrier_waited = 0
+        self._rot_barrier_passed = False
 
     # ---------------- graph building ----------------
 
@@ -348,7 +365,16 @@ class TransportDPGO:
         """Direct injection (single-process simulations/tests)."""
         self._apply(d)
 
+    def set_available_robots(self, ids) -> None:
+        """Robots whose ROT_INIT_FINISH signal gates the first ARock
+        round (reference setAvailableRobots, d2pgo.h:73-75)."""
+        self.available_robots = {int(i) for i in ids} | {self.self_id}
+
     def _apply(self, d: DPGOData) -> None:
+        if d.msg_type == DPGO_SIGNAL:
+            if d.iteration == SIGNAL_ROT_INIT_FINISH:
+                self.rot_init_finished_robots.add(int(d.drone_id))
+            return
         for i, k in enumerate(d.keys):
             k = int(k)
             if k not in self.slot_of:
@@ -463,6 +489,36 @@ class TransportDPGO:
         self.poses[:n] = np.asarray(p, np.float64)[:n]
         self._rot_inited = True
 
+    def _send_signal(self, code: int, stamp: float = 0.0) -> None:
+        msg = DPGOData(
+            drone_id=self.self_id, target_id=-1,
+            ref_frame_id=self.ref_frame_id, msg_type=DPGO_SIGNAL,
+            stamp=stamp, iteration=code,
+            keys=np.zeros(0, np.int64),
+            poses=np.zeros((0, 7), np.float32),
+            duals=np.zeros((0, 7), np.float32),
+        )
+        self.t.send(CH_PGO_DATA, encode_dpgo(msg))
+
+    def _rot_init_barrier_ok(self, stamp: float) -> bool:
+        """True when ARock rounds may run. After our local rot-init we
+        (re)announce ROT_INIT_FINISH and hold until every robot in
+        ``available_robots`` has announced too, or the round budget
+        runs out (reference waitForRotInitFinish, d2pgo.cpp:130-153:
+        spin + periodic re-send + rot_init_timeout)."""
+        if not self.cfg.rot_init or not self._rot_inited:
+            return True
+        if self._rot_barrier_passed:
+            return True
+        self.rot_init_finished_robots.add(self.self_id)
+        self._send_signal(SIGNAL_ROT_INIT_FINISH, stamp)
+        if (self.available_robots <= self.rot_init_finished_robots
+                or self._rot_barrier_waited >= self.cfg.rot_init_timeout_rounds):
+            self._rot_barrier_passed = True
+            return True
+        self._rot_barrier_waited += 1
+        return False
+
     def _local_solve(self) -> None:
         import functools
 
@@ -566,6 +622,8 @@ class TransportDPGO:
                     break  # exceeded max_wait_steps — give up this round
                 continue
             self._maybe_rot_init()
+            if not self._rot_init_barrier_ok(stamp):
+                break  # hold ARock until peers finish rot-init
             self._scan_duals()
             self._local_solve()
             self.updated = False

@@ -193,3 +193,59 @@ def test_skip_if_stale():
             ep.add_edge(ka, kb, rel, s)
     assert ep.solve() == 1      # first call: graph is new -> solves
     assert ep.solve() == 0      # nothing new arrived -> skipped
+
+
+def test_rot_init_finish_barrier():
+    """ROT_INIT_FINISH gate (reference waitForRotInitFinish,
+    d2pgo.cpp:130-153): with available_robots set, a robot holds its
+    ARock rounds after local rot-init until every listed robot has
+    signalled, re-announcing while it waits."""
+    gt, init, ego, loops = _make_swarm_graph()
+    bus = LocalBus()
+    cfg = DPGOTransportConfig(max_poses=32, max_edges=64, max_anchors=32,
+                              iters_per_step=2)
+    eps = []
+    for r in range(2):
+        ep = TransportDPGO(bus.endpoint(r), r, cfg)
+        ep.set_available_robots([0, 1])
+        for k, p in init.items():
+            ep.add_frame(k, owner=k >> 40, pose=p)
+        for (ka, kb, rel, s) in ego + loops:
+            ep.add_edge(ka, kb, rel, s)
+        eps.append(ep)
+    a, b = eps
+
+    # robot 0 alone: rot-init runs, but ARock holds for robot 1
+    assert a.solve() == 0
+    assert a._rot_inited and not a._rot_barrier_passed
+    # robot 1: hears 0's signal, rot-inits, signals, barrier satisfied
+    assert b.solve() == 1
+    assert b._rot_barrier_passed
+    # robot 0 now hears 1's signal and proceeds
+    a.updated = True
+    assert a.solve() == 1
+    assert a._rot_barrier_passed
+
+
+def test_rot_init_barrier_timeout():
+    """A robot whose peers never answer proceeds after the timeout
+    budget (reference rot_init_timeout)."""
+    gt, init, ego, loops = _make_swarm_graph()
+    bus = LocalBus()
+    cfg = DPGOTransportConfig(max_poses=32, max_edges=64, max_anchors=32,
+                              iters_per_step=2, rot_init_timeout_rounds=2)
+    ep = TransportDPGO(bus.endpoint(0), 0, cfg)
+    ep.set_available_robots([0, 1])   # robot 1 will never exist
+    for k, p in init.items():
+        ep.add_frame(k, owner=k >> 40, pose=p)
+    for (ka, kb, rel, s) in ego + loops:
+        ep.add_edge(ka, kb, rel, s)
+    held = 0
+    for _ in range(3):
+        if ep.solve() == 0:
+            held += 1
+            ep.updated = True
+        else:
+            break
+    assert held == 2           # waited out the budget
+    assert ep.solve() >= 0 and ep._rot_barrier_passed
