@@ -36,6 +36,17 @@ class LoopDetectorConfig:
     gdesc_dim: int = 4096
     pos_cov: float = 0.01               # loop edge covariance (reference
     yaw_cov: float = 0.01               # loop_cov_pos / loop_cov_ang)
+    # adaptive retrieval gate: netvlad_thres 0.8 is tuned for the
+    # reference's trained MobileNetVLAD; any other global descriptor
+    # (the weight-free downsample default, a re-trained net, PCA dims)
+    # has a different impostor-similarity scale. When on, the gate
+    # becomes mu + k*sigma of the running best-match score of non-loop
+    # queries (after a warm-up that keeps the configured constant), so
+    # the detector self-calibrates to whatever embedding is running
+    # instead of silently using a mistuned constant
+    auto_thres: bool = False
+    auto_thres_sigma: float = 3.0
+    auto_thres_min_samples: int = 20
 
 
 class LoopEdge(NamedTuple):
@@ -77,6 +88,27 @@ class LoopDetector:
         self.gdesc = np.zeros((cfg.max_db, cfg.gdesc_dim), np.float32)
         self.valid = np.zeros(cfg.max_db, bool)
         self._next_evict = 0
+        # Welford running stats of impostor (non-loop) best-match scores
+        self._imp_n = 0
+        self._imp_mean = 0.0
+        self._imp_m2 = 0.0
+
+    def _record_impostor(self, score: float) -> None:
+        self._imp_n += 1
+        d = score - self._imp_mean
+        self._imp_mean += d / self._imp_n
+        self._imp_m2 += d * (score - self._imp_mean)
+
+    def effective_netvlad_thres(self) -> float:
+        """The retrieval gate in force: the configured constant, or —
+        with ``auto_thres`` and enough impostor samples — the running
+        mu + k*sigma of non-loop best-match similarities, calibrated to
+        the embedding actually running."""
+        cfg = self.cfg
+        if not cfg.auto_thres or self._imp_n < cfg.auto_thres_min_samples:
+            return cfg.netvlad_thres
+        sigma = float(np.sqrt(self._imp_m2 / max(self._imp_n - 1, 1)))
+        return min(self._imp_mean + cfg.auto_thres_sigma * sigma, 0.999)
 
     def add_keyframe(self, entry: KeyframeEntry, gdesc: np.ndarray) -> None:
         """Insert into the retrieval DB; when full, evict FIFO (the
@@ -109,7 +141,9 @@ class LoopDetector:
 
     def detect(self, entry: KeyframeEntry, gdesc: np.ndarray
                ) -> Optional[LoopEdge]:
-        """Query the DB for a loop closure for this keyframe."""
+        """Query the DB for a loop closure for this keyframe. Queries
+        that do not end in a verified loop feed the impostor-score
+        statistics behind ``effective_netvlad_thres``."""
         n = len(self.entries)
         if n == 0:
             return None
@@ -128,7 +162,14 @@ class LoopDetector:
             jnp.asarray(valid), k=1,
         )
         score, best = float(scores[0, 0]), int(idx[0, 0])
-        if score < self.cfg.netvlad_thres:
+        edge = self._detect_verified(entry, score, best)
+        if edge is None:
+            self._record_impostor(score)
+        return edge
+
+    def _detect_verified(self, entry: KeyframeEntry, score: float,
+                         best: int) -> Optional[LoopEdge]:
+        if score < self.effective_netvlad_thres():
             return None
         old = self.entries[best]
 

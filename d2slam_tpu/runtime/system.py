@@ -244,7 +244,7 @@ class D2SLAMSystem:
             # -> getMatchedPrevKeyframe NetVLAD gate)
             self.loopnet.want_full = lambda pkt: (
                 self.detector.query_score(pkt.gdesc)
-                > self.detector.cfg.netvlad_thres
+                > self.detector.effective_netvlad_thres()
             )
             if sys_cfg.enable_dpgo:
                 from d2slam_tpu.pgo.dpgo_transport import (

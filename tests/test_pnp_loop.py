@@ -159,3 +159,50 @@ def test_ransac_pnp_body_device():
                               min_inliers=20, device=True)
     assert Tb is not None
     np.testing.assert_allclose(Tb[:3], T_body[:3], atol=0.02)
+
+
+def test_adaptive_retrieval_gate():
+    """auto_thres: the retrieval gate self-calibrates to the running
+    embedding's impostor-similarity scale (mu + k*sigma of non-loop
+    best-match scores) instead of the NetVLAD-tuned constant."""
+    rng = np.random.default_rng(0)
+    ext = default_extrinsics()
+    # deliberately mistuned constant: a weak embedding whose genuine
+    # matches sit near 0.6 would never pass 0.8
+    cfg = LoopDetectorConfig(netvlad_thres=0.8, auto_thres=True,
+                             auto_thres_sigma=3.0,
+                             auto_thres_min_samples=10,
+                             min_gap_frames=2)
+    det = LoopDetector(cfg, ext)
+
+    def unit(v):
+        return (v / np.linalg.norm(v)).astype(np.float32)
+
+    # a DB of distinct places
+    base = [unit(rng.normal(0, 1, 4096)) for _ in range(8)]
+    rays = np.tile([[1.0, 0, 0]], (4, 1))
+    for i, g in enumerate(base):
+        det.add_keyframe(make_entry(
+            100 + i, 0, np.array([0.0, 0, 0, 0, 0, 0, 1]),
+            rays, np.zeros(4, np.int32),
+            np.eye(4, 8, dtype=np.float32), np.full((4, 3), np.nan),
+        ), g)
+
+    # warm-up: impostor queries (random directions, low similarity)
+    assert det.effective_netvlad_thres() == cfg.netvlad_thres
+    for i in range(30):
+        q = unit(rng.normal(0, 1, 4096))
+        assert det.detect(make_entry(
+            500 + i, 1, np.array([0.0, 0, 0, 0, 0, 0, 1]),
+            rays, np.zeros(4, np.int32),
+            np.eye(4, 8, dtype=np.float32), np.full((4, 3), np.nan),
+        ), q) is None
+
+    thres = det.effective_netvlad_thres()
+    # calibrated: far below the mistuned 0.8, above the impostor cloud
+    assert thres < 0.5
+    assert thres > det._imp_mean
+    # a genuine revisit (same embedding + small noise) passes the gate
+    revisit = unit(base[3] + 0.05 * rng.normal(0, 1, 4096))
+    score = det.query_score(revisit)
+    assert score > thres
