@@ -45,6 +45,10 @@ class TrackerConfig:
     use_lk: bool = True
     lk_levels: int = 3
     max_features: int = 200
+    # RGB-D (reference PINHOLE_DEPTH): accepted measured-depth range
+    # when sampling the aligned depth image at keypoints
+    depth_min: float = 0.3
+    depth_max: float = 10.0
 
 
 class TrackedFeature:
@@ -160,8 +164,21 @@ class FeatureTracker:
         ring = [(v, (v + 1) % V) for v in range(V)]
         return self.process_multiview(stamp, frame_id, imgs, ring)
 
+    def process_rgbd(self, stamp: float, frame_id: int,
+                     img: np.ndarray, depth: np.ndarray
+                     ) -> Optional[FrontendFrame]:
+        """Mono + aligned depth image (reference PINHOLE_DEPTH camera
+        config, d2basetypes.h CameraConfig; LoopCam attaches measured
+        depth to each keypoint and the estimator adds 3-dof
+        depth-measurement residuals). ``depth`` is metric depth, same
+        resolution as ``img``; out-of-range samples leave the landmark
+        vision-only."""
+        return self.process_multiview(stamp, frame_id, [img], [],
+                                      depth_imgs=[depth])
+
     def process_multiview(self, stamp: float, frame_id: int,
-                          imgs: List[np.ndarray], adjacency
+                          imgs: List[np.ndarray], adjacency,
+                          depth_imgs: Optional[List[np.ndarray]] = None
                           ) -> Optional[FrontendFrame]:
         """General N-view tracking with cross-view landmark unification.
 
@@ -274,9 +291,18 @@ class FeatureTracker:
                         self._lift(v, prev_pt_of[lid][None])
                     )[0]
                     vel[k] = (rays[k] - prev_ray) / self.dt
+            dep = None
+            if depth_imgs is not None and depth_imgs[v] is not None:
+                dimg = np.asarray(depth_imgs[v])
+                H, W = dimg.shape[:2]
+                px = np.clip(np.round(views[v]["kpts"][sel]).astype(int),
+                             0, [W - 1, H - 1])
+                d = dimg[px[:, 1], px[:, 0]].astype(np.float64)
+                ok_d = (d > self.cfg.depth_min) & (d < self.cfg.depth_max)
+                dep = np.where(ok_d, d, 0.0)  # <=0 means no measurement
             obs.append(CameraObservations(
                 cam_id=v, landmark_ids=views[v]["ids"][sel],
-                rays=rays, ray_vels=vel,
+                rays=rays, ray_vels=vel, depths=dep,
             ))
         return FrontendFrame(
             stamp=stamp, frame_id=frame_id, is_keyframe=True,

@@ -336,6 +336,22 @@ class D2SLAMSystem:
             self._register_keyframe(ff, od, imgs[0])
         return od
 
+    def input_rgbd(self, t: float, img: np.ndarray, depth: np.ndarray
+                   ) -> Optional[Odometry]:
+        """Process one mono image + aligned metric depth image (the
+        reference's PINHOLE_DEPTH camera configuration, e.g. RealSense
+        D435). Keypoints inside the accepted depth range carry a
+        measured depth the estimator turns into depth residuals."""
+        ff = self.tracker.process_rgbd(t, self._frame_id, img, depth)
+        self._frame_id += 1
+        if ff is None:
+            return None
+        od = self.estimator.input_frame(ff)
+        if od is not None:
+            self.odometry = od
+            self._register_keyframe(ff, od, img)
+        return od
+
     def input_frame(self, ff: FrontendFrame,
                     gdesc: Optional[np.ndarray] = None,
                     kf_entry: Optional[KeyframeEntry] = None

@@ -70,6 +70,16 @@ class D2Estimator:
     def __init__(self, config: D2Config, extrinsics: np.ndarray):
         self.cfg = config
         e = config.estimator
+        extrinsics = np.asarray(extrinsics)
+        if len(extrinsics) != config.num_cams:
+            # catch this here with a clear message — a mismatch
+            # otherwise surfaces as an opaque broadcast error deep in
+            # the jitted solver (state_boxminus ext slice)
+            raise ValueError(
+                f"extrinsics has {len(extrinsics)} cameras but "
+                f"config.num_cams={config.num_cams}; set num_cams to "
+                "match (e.g. 1 for MONOCULAR/PINHOLE_DEPTH rigs)"
+            )
         self.dtype = jnp.float64 if config.dtype == "float64" else jnp.float32
         self.layout = VIOLayout(
             W=e.max_sld_win_size,
