@@ -81,7 +81,16 @@ def bench_superpoint():
     imgs4 = jnp.stack([img] * 4)
     four = jax.jit(jax.vmap(lambda im: superpoint_extract(params, im, cfg)))
     ms4 = _time_ms(four, (imgs4,), n=30)
-    return ms1, fl1, ms4
+    # bf16 conv path (the reference's fp16 TensorRT profile equivalent)
+    cfg_bf = SuperPointConfig(max_keypoints=200, threshold=1e-4,
+                              compute_dtype="bfloat16")
+    one_bf = jax.jit(lambda im: superpoint_extract(params, im, cfg_bf))
+    ms_bf = _time_ms(one_bf, (img,), n=30)
+    # stereo keyframe: both views in one batched program
+    imgs2 = jnp.stack([img] * 2)
+    two = jax.jit(jax.vmap(lambda im: superpoint_extract(params, im, cfg)))
+    ms2 = _time_ms(two, (imgs2,), n=30)
+    return ms1, fl1, ms4, ms_bf, ms2
 
 
 def bench_hitnet():
@@ -147,7 +156,7 @@ def main():
     enable_compilation_cache()  # TRT-engine-cache equivalent: warm reruns
 
     ba_ms, ba_fl, ba_dtype = bench_ba()
-    sp_ms, sp_fl, sp4_ms = bench_superpoint()
+    sp_ms, sp_fl, sp4_ms, sp_bf16_ms, sp2_ms = bench_superpoint()
     hn_ms, hn_fl = bench_hitnet()
     pg_ms, pg_fl = bench_pgo1k()
 
@@ -165,7 +174,12 @@ def main():
         "vs_baseline": round(baseline_ms / ba_ms, 2),
         "extra": {
             "superpoint_ms": round(sp_ms, 3),
+            "superpoint_bf16_ms": round(sp_bf16_ms, 3),
             "quad_sp_ms": round(sp4_ms, 3),
+            # device cost of one stereo keyframe: CNN on both views +
+            # the full sliding-window BA solve (reference budget: 20 Hz
+            # frontend + 80 ms solver on Xavier NX)
+            "e2e_keyframe_ms": round(sp2_ms + ba_ms, 3),
             "hitnet_ms": round(hn_ms, 3),
             "pgo1k_ms": round(pg_ms, 3),
             "ba_mfu": mfu(ba_fl, ba_ms, peak_ba),

@@ -249,3 +249,28 @@ def test_rot_init_barrier_timeout():
             break
     assert held == 2           # waited out the budget
     assert ep.solve() >= 0 and ep._rot_barrier_passed
+
+
+def test_multi_process_swarm(tmp_path):
+    """The docker-emulation deployment shape: one OS process per robot,
+    joined only by real UDP multicast (examples/run_swarm_processes.py).
+    Asserts inter-robot agreement and ATE improvement end-to-end across
+    process boundaries."""
+    import json as _json
+    import pathlib
+    import subprocess
+    import sys
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    env = dict(**__import__("os").environ)
+    env["PYTHONPATH"] = f"{root}:{env.get('PYTHONPATH', '')}"
+    out = subprocess.run(
+        [sys.executable, str(root / "examples/run_swarm_processes.py"),
+         "--rounds", "10", "--port", "7695"],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    summary = _json.loads(line)
+    assert summary["max_disagreement_m"] < 0.15
+    assert summary["ate_optimized_m"] < summary["ate_odometry_m"]
