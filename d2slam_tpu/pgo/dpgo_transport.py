@@ -374,6 +374,11 @@ class TransportDPGO:
         if d.msg_type == DPGO_SIGNAL:
             if d.iteration == SIGNAL_ROT_INIT_FINISH:
                 self.rot_init_finished_robots.add(int(d.drone_id))
+                # a signal is new information: without this, a robot
+                # held at the barrier whose peers are also held (so no
+                # dual data flows) would never re-evaluate the barrier
+                # and the whole swarm would deadlock pre-ARock
+                self.updated = True
             return
         for i, k in enumerate(d.keys):
             k = int(k)

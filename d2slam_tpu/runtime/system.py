@@ -302,8 +302,16 @@ class D2SLAMSystem:
     # inputs
     # ------------------------------------------------------------------
 
-    def input_imu(self, t: float, acc, gyr) -> None:
+    def input_imu(self, t: float, acc, gyr,
+                  want_odometry: bool = False) -> Optional[Odometry]:
+        """Feed one IMU sample. With ``want_odometry`` the call also
+        returns IMU-rate propagated odometry (the reference publishes
+        this on every IMU callback; here it is opt-in per call so the
+        400 Hz feed does not pay a device launch per sample)."""
         self.estimator.input_imu(t, acc, gyr)
+        if want_odometry:
+            return self.estimator.predict_odometry(t)
+        return None
 
     def input_stereo(self, t: float, img_left: np.ndarray,
                      img_right: np.ndarray) -> Optional[Odometry]:

@@ -306,6 +306,43 @@ class D2Estimator:
         self._sfm_buffer = None
         return True
 
+    def predict_odometry(self, t: Optional[float] = None
+                         ) -> Optional[Odometry]:
+        """IMU-rate odometry: the newest solved state propagated through
+        the buffered IMU up to ``t`` (default: the latest IMU sample) —
+        the reference publishes this on every IMU callback
+        (d2estimator.cpp:57-72 inputImu → propagated odometry).
+        Call at whatever rate the consumer needs; the window state is
+        untouched."""
+        if not self.initialized:
+            return None
+        w = self._last_self_slot()
+        if w < 0:
+            return None
+        frame = self.frames[w]
+        t_end = float(t) if t is not None else self.imubuf.t_last
+        if t_end <= frame.stamp:
+            return Odometry(
+                stamp=frame.stamp,
+                pose=np.asarray(self.state.poses[w]),
+                vel=np.asarray(self.state.sb[w, :3]),
+            )
+        dts, accs, gyrs, mask = self.imubuf.period(
+            frame.stamp, t_end, self.layout.N_IMU_SAMPLES
+        )
+        sb = np.asarray(self.state.sb[w])
+        pose, vel = imu_propagate_pose(
+            self.state.poses[w],
+            jnp.asarray(sb[:3], self.dtype),
+            jnp.asarray(sb[3:6], self.dtype),
+            jnp.asarray(sb[6:9], self.dtype),
+            jnp.asarray(dts, self.dtype), jnp.asarray(accs, self.dtype),
+            jnp.asarray(gyrs, self.dtype), jnp.asarray(mask),
+            -self.gravity,
+        )
+        return Odometry(stamp=t_end, pose=np.asarray(pose),
+                        vel=np.asarray(vel))
+
     def _last_self_slot(self) -> int:
         """Slot of the newest own-drone frame (== last slot in the
         single-robot estimator; the SOLVE_ALL pool interleaves drones)."""

@@ -274,3 +274,32 @@ def test_multi_process_swarm(tmp_path):
     summary = _json.loads(line)
     assert summary["max_disagreement_m"] < 0.15
     assert summary["ate_optimized_m"] < summary["ate_odometry_m"]
+
+
+def test_barrier_signals_wake_held_robots():
+    """Regression: a robot held at the ROT_INIT_FINISH barrier must be
+    woken by arriving signals alone (no dual data flows pre-ARock). A
+    three-robot swarm where solve() is NOT manually re-armed would
+    otherwise deadlock with every robot holding."""
+    gt, init, ego, loops = _make_swarm_graph(n_robots=3, n_per=6)
+    bus = LocalBus()
+    cfg = DPGOTransportConfig(max_poses=32, max_edges=64, max_anchors=32,
+                              iters_per_step=2)
+    eps = []
+    for r in range(3):
+        ep = TransportDPGO(bus.endpoint(r), r, cfg)
+        ep.set_available_robots([0, 1, 2])
+        for k, p in init.items():
+            ep.add_frame(k, owner=k >> 40, pose=p)
+        for (ka, kb, rel, s) in ego + loops:
+            ep.add_edge(ka, kb, rel, s)
+        eps.append(ep)
+
+    # round 1: robots 0 and 1 hold (signals incomplete), robot 2 passes
+    assert eps[0].solve() == 0
+    assert eps[1].solve() == 0
+    assert eps[2].solve() == 1
+    # round 2 WITHOUT manual re-arm: the late signals alone must wake 0/1
+    assert eps[0].solve() == 1
+    assert eps[1].solve() == 1
+    assert all(ep._rot_barrier_passed for ep in eps)

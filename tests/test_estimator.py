@@ -164,3 +164,32 @@ def test_dynamic_start_sfm_init():
     assert abs(v_last - 2.5) < 0.3, f"|v| {v_last}"
     rmse = ate(outs)
     assert rmse < 0.25, f"dynamic-start ATE {rmse}"
+
+
+def test_predict_odometry_imu_rate():
+    """IMU-rate propagated odometry (reference inputImu publish path,
+    d2estimator.cpp:57-72): between keyframes, predict_odometry tracks
+    ground truth from the last solved state through the buffered IMU."""
+    import jax.numpy as jnp
+
+    from d2slam_tpu.geometry.lie import pose_compose, pose_inverse
+
+    est, errs, sim = run_sequence(n_frames=12)
+    assert est.initialized
+    t_last = 11 / sim.frame_hz
+    t_pred = t_last + 0.5 / sim.frame_hz   # half a frame past the last kf
+    for (ts, a, g) in sim.imu_samples(t_last + 1e-6, t_pred + 1e-6):
+        est.input_imu(ts, a, g)
+    od = est.predict_odometry(t_pred)
+    assert od is not None and abs(od.stamp - t_pred) < 1e-6
+    # gauge-align as in ate()
+    est0, gt0 = errs[0][0], errs[0][1]
+    T_align = np.asarray(
+        pose_compose(jnp.asarray(gt0), pose_inverse(jnp.asarray(est0)))
+    )
+    p = np.asarray(pose_compose(jnp.asarray(T_align), jnp.asarray(od.pose)))
+    gt_pose, gt_vel = sim.gt_pose(t_pred)
+    assert np.linalg.norm(p[:3] - gt_pose[:3]) < 0.15
+    # and the prediction moved off the last keyframe pose
+    gt_last, _ = sim.gt_pose(t_last)
+    assert np.linalg.norm(gt_pose[:3] - gt_last[:3]) > 0.02
