@@ -115,20 +115,26 @@ def solve_pgo_anchored(
     huber_delta: float = 1.0,
 ):
     """solve_pgo plus consensus anchor rows: every active anchor adds a
-    6-dof penalty pulling pose[idx] toward its dual pose
-    (reference setDualStateFactors, ARock.cpp:256-314 —
-    ConsenusPoseFactor with zero tilde). 6-DoF layouts only."""
+    penalty pulling pose[idx] toward its dual pose (reference
+    setDualStateFactors, ARock.cpp:256-314 — ConsenusPoseFactor with
+    zero tilde for 6-DoF layouts, ConsenusPoseFactor4D for the 4-DoF
+    x/y/z/yaw mode the reference defaults to, d2pgo_node.cpp:182-187
+    is_4dof=true)."""
     import jax
     import jax.numpy as jnp
     import jax.scipy.linalg as jsl
 
     from d2slam_tpu.factors.residuals import consensus_pose_residual
-    from d2slam_tpu.geometry.lie import pose_boxplus
+    from d2slam_tpu.geometry.lie import (
+        pose4d_boxplus,
+        pose_boxplus,
+        yaw_from_quat,
+    )
     from d2slam_tpu.pgo.pose_graph import _build_rows
     from d2slam_tpu.solver.vio_assembly import place_block
 
-    assert layout.pose_dof == 6, "dual anchors are 6-DoF (reference SE3 path)"
-    dof = 6
+    dof = layout.pose_dof
+    assert dof in (4, 6)
     dtype = state.poses.dtype
     D = layout.D_pad
 
@@ -137,15 +143,26 @@ def solve_pgo_anchored(
     col_free = col_free.at[: layout.D].set(jnp.repeat(per_pose, dof))
 
     z6 = jnp.zeros((3,), dtype)
+    boxplus = pose_boxplus if dof == 6 else pose4d_boxplus
+    sT = jnp.asarray(np.sqrt(rho_T), dtype)
+    sth = jnp.asarray(np.sqrt(rho_theta), dtype)
+
+    def anchor_resid(pose, ref):
+        if dof == 6:
+            return consensus_pose_residual(pose, ref, z6, z6, rho_T,
+                                           rho_theta)
+        dyaw = yaw_from_quat(pose[3:]) - yaw_from_quat(ref[3:])
+        dyaw = jnp.arctan2(jnp.sin(dyaw), jnp.cos(dyaw))
+        return jnp.concatenate(
+            [sT * (pose[:3] - ref[:3]), sth * dyaw[None]]
+        )
 
     def anchor_rows(s):
         def one(idx, ref, act):
             pose = s.poses[idx]
 
             def f(d):
-                return consensus_pose_residual(
-                    pose_boxplus(pose, d), ref, z6, z6, rho_T, rho_theta
-                )
+                return anchor_resid(boxplus(pose, d), ref)
 
             z = jnp.zeros((dof,), dtype)
             r = f(z)
@@ -167,7 +184,7 @@ def solve_pgo_anchored(
 
     def apply_delta(s, dx):
         d = dx[: layout.D].reshape(layout.N, dof)
-        return s._replace(poses=jax.vmap(pose_boxplus)(s.poses, d))
+        return s._replace(poses=jax.vmap(boxplus)(s.poses, d))
 
     def iteration(carry, _):
         s, cost, lam = carry
@@ -208,6 +225,10 @@ class DPGOTransportConfig:
     max_poses: int = 256
     max_edges: int = 1024
     max_anchors: int = 256
+    # 6 = full SE(3); 4 = x/y/z/yaw with roll/pitch pinned to the VIO
+    # gravity estimate — the reference's default for real swarms
+    # (d2pgo_node.cpp:182-187, is_4dof=true)
+    pose_dof: int = 6
     # reference defaults: pgo_rho_frame_T 0.01-0.1, pgo_rho_frame_theta
     # 2.0 (config/tum/tum_multi.yaml:141-142), eta_k 0.9
     rho_T: float = 0.1
@@ -416,12 +437,26 @@ class TransportDPGO:
 
     def _update_duals(self) -> None:
         """eta_k-relaxed dual update (reference updateDualStates,
-        ARock.cpp:24-84)."""
+        ARock.cpp:24-84; the 4-DoF branch mirrors the IsPose4D vector
+        path: elementwise x/y/z average + circular yaw average, linear
+        relaxation, yaw renormalized)."""
         eta = self.cfg.eta_k
         for pair, dl in self.dual_local.items():
             dr = self.dual_remote[pair]
             _, k = pair
             cur = self.poses[self.slot_of[k]]
+            if self.cfg.pose_dof == 4:
+                yl, yr = np_lie.yaw_of(dl[3:]), np_lie.yaw_of(dr[3:])
+                avg_p = 0.5 * (dl[:3] + dr[:3])
+                avg_y = np.arctan2(0.5 * (np.sin(yl) + np.sin(yr)),
+                                   0.5 * (np.cos(yl) + np.cos(yr)))
+                d_p = eta * (avg_p - cur[:3])
+                d_y = eta * np_lie.wrap_angle(avg_y - np_lie.yaw_of(cur[3:]))
+                new_y = np_lie.wrap_angle(yl - d_y)
+                self.dual_local[pair] = np.concatenate(
+                    [dl[:3] - d_p, np_lie.quat_from_yaw(new_y)]
+                )
+                continue
             avg = np_lie.pose_average(np.stack([dl, dr]))
             err = np_lie.pose_log(
                 np_lie.pose_compose(np_lie.pose_inverse(cur), avg)
@@ -533,7 +568,7 @@ class TransportDPGO:
         from d2slam_tpu.pgo.pose_graph import PGOEdges, PGOLayout, PGOState
 
         cfg = self.cfg
-        layout = PGOLayout(cfg.max_poses, cfg.max_edges, 6)
+        layout = PGOLayout(cfg.max_poses, cfg.max_edges, cfg.pose_dof)
         if self._solver is None:
             self._solver = jax.jit(functools.partial(
                 solve_pgo_anchored, layout,
@@ -563,15 +598,20 @@ class TransportDPGO:
             fixed[main_slot] = True
 
         E = cfg.max_edges
+        dof = cfg.pose_dof
         ei = np.zeros(E, np.int32)
         ej = np.zeros(E, np.int32)
         rel = np.tile([0, 0, 0, 0, 0, 0, 1.0], (E, 1))
-        si = np.tile(np.eye(6), (E, 1, 1))
-        ev = np.zeros(E, bool)
+        si = np.tile(np.eye(dof), (E, 1, 1))
+        sel4 = np.ix_([0, 1, 2, 5], [0, 1, 2, 5])  # x,y,z,yaw of a 6x6
         for x, (ka, kb, r, s) in enumerate(self.edges[:E]):
-            ei[x], ej[x], rel[x], si[x], ev[x] = (
-                self.slot_of[ka], self.slot_of[kb], r, s, True
+            if dof == 4 and s.shape == (6, 6):
+                s = s[sel4]
+            ei[x], ej[x], rel[x], si[x] = (
+                self.slot_of[ka], self.slot_of[kb], r, s
             )
+        ev = np.zeros(E, bool)
+        ev[: min(len(self.edges), E)] = True
 
         K = cfg.max_anchors
         ai = np.zeros(K, np.int32)

@@ -137,3 +137,18 @@ def pose_average(poses):
     if q[3] < 0:
         q = -q
     return np.concatenate([pos, q / np.linalg.norm(q)])
+
+
+def yaw_of(q):
+    """Yaw (Z euler) of quaternion [x, y, z, w]."""
+    x, y, z, w = q
+    return float(np.arctan2(2.0 * (w * z + x * y),
+                            1.0 - 2.0 * (y * y + z * z)))
+
+
+def quat_from_yaw(yaw):
+    return np.array([0.0, 0.0, np.sin(yaw / 2), np.cos(yaw / 2)])
+
+
+def wrap_angle(a):
+    return float(np.arctan2(np.sin(a), np.cos(a)))

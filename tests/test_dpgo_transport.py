@@ -303,3 +303,59 @@ def test_barrier_signals_wake_held_robots():
     assert eps[0].solve() == 1
     assert eps[1].solve() == 1
     assert all(ep._rot_barrier_passed for ep in eps)
+
+
+def test_transport_dpgo_4dof():
+    """4-DoF (x/y/z/yaw) mode — the reference's default for real swarms
+    (d2pgo_node.cpp is_4dof=true): robots converge to the centralized
+    4-DoF solution; roll/pitch stay pinned to the VIO attitudes."""
+    gt, init, ego, loops = _make_swarm_graph(seed=1)
+    bus = LocalBus()
+    cfg = DPGOTransportConfig(max_poses=32, max_edges=64, max_anchors=32,
+                              rho_T=1.0, rho_theta=1.0, iters_per_step=4,
+                              pose_dof=4)
+    robots = []
+    for r in range(2):
+        ep = TransportDPGO(bus.endpoint(r), r, cfg)
+        for k, p in init.items():
+            ep.add_frame(k, owner=k >> 40, pose=p)
+        for (ka, kb, rel, s) in ego + loops:
+            ep.add_edge(ka, kb, rel, s)
+        robots.append(ep)
+    for it in range(18):
+        for ep in robots:
+            ep.updated = True
+            ep.solve(stamp=float(it))
+
+    # centralized 4-DoF reference
+    keys = sorted(init.keys())
+    slot = {k: i for i, k in enumerate(keys)}
+    layout = PGOLayout(32, 64, 4)
+    poses = np.tile([0, 0, 0, 0, 0, 0, 1.0], (32, 1))
+    for k, i in slot.items():
+        poses[i] = init[k]
+    valid = np.zeros(32, bool); valid[:len(keys)] = True
+    ei = np.zeros(64, np.int32); ej = np.zeros(64, np.int32)
+    rel = np.tile([0, 0, 0, 0, 0, 0, 1.0], (64, 1))
+    si = np.tile(np.eye(4), (64, 1, 1)); ev = np.zeros(64, bool)
+    sel4 = np.ix_([0, 1, 2, 5], [0, 1, 2, 5])
+    for x, (ka, kb, r, s) in enumerate(ego + loops):
+        ei[x], ej[x], rel[x], si[x], ev[x] = (
+            slot[ka], slot[kb], r, s[sel4], True)
+    fixed = np.zeros(32, bool); fixed[slot[gid(0, 0)]] = True
+    out, _ = solve_pgo(
+        layout, PGOState(jnp.asarray(poses), jnp.asarray(valid)),
+        PGOEdges(jnp.asarray(ei), jnp.asarray(ej), jnp.asarray(rel),
+                 jnp.asarray(si), jnp.asarray(ev)),
+        jnp.asarray(fixed), max_iters=30, huber_delta=1.0,
+    )
+    cen = {k: np.asarray(out.poses[slot[k]], np.float64) for k in keys}
+
+    errs, agree = [], []
+    for k in cen:
+        own = robots[k >> 40].optimized_pose(k)
+        other = robots[1 - (k >> 40)].optimized_pose(k)
+        errs.append(np.linalg.norm(own[:3] - cen[k][:3]))
+        agree.append(np.linalg.norm(own[:3] - other[:3]))
+    assert np.max(errs) < 0.1, f"vs centralized 4dof {np.max(errs):.3f}"
+    assert np.max(agree) < 0.1, f"disagreement {np.max(agree):.3f}"
