@@ -59,7 +59,23 @@ def bench_ba():
     solve = jax.jit(step)
     ms = _time_ms(solve, (state, imu, proj), n=100)
     flops = _cost_flops(solve, state, imu, proj)
-    return ms, flops, state.poses.dtype
+    # batched throughput (the SERVER / many-drone ingestion story): one
+    # vmapped program solving B independent sliding windows amortizes
+    # the per-launch latency and fills the MXU. Opt-in: the vmapped
+    # 8-iteration LM program takes >30 min to compile through the
+    # remote-TPU tunnel on a cold cache, which would starve the rest of
+    # the bench under a driver timeout.
+    import os
+
+    ms_b, B = 0.0, 0
+    if os.environ.get("D2_BENCH_BATCH"):
+        B = int(os.environ.get("D2_BENCH_BATCH_SIZE", "16"))
+        batched = jax.jit(jax.vmap(step))
+        args_b = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (B,) + x.shape), (state, imu, proj)
+        )
+        ms_b = _time_ms(lambda a: batched(*a), (args_b,), n=30)
+    return ms, flops, state.poses.dtype, ms_b, B
 
 
 def bench_superpoint():
@@ -155,7 +171,7 @@ def main():
 
     enable_compilation_cache()  # TRT-engine-cache equivalent: warm reruns
 
-    ba_ms, ba_fl, ba_dtype = bench_ba()
+    ba_ms, ba_fl, ba_dtype, ba_b_ms, ba_b = bench_ba()
     sp_ms, sp_fl, sp4_ms, sp_bf16_ms, sp2_ms = bench_superpoint()
     hn_ms, hn_fl = bench_hitnet()
     pg_ms, pg_fl = bench_pgo1k()
@@ -180,6 +196,12 @@ def main():
             # the full sliding-window BA solve (reference budget: 20 Hz
             # frontend + 80 ms solver on Xavier NX)
             "e2e_keyframe_ms": round(sp2_ms + ba_ms, 3),
+            # batched window solves (only with D2_BENCH_BATCH=1)
+            **({
+                "ba_batch_ms_per_window": round(ba_b_ms / ba_b, 3),
+                "ba_solves_per_sec": round(ba_b / (ba_b_ms * 1e-3), 1),
+                "ba_batch": ba_b,
+            } if ba_b else {}),
             "hitnet_ms": round(hn_ms, 3),
             "pgo1k_ms": round(pg_ms, 3),
             "ba_mfu": mfu(ba_fl, ba_ms, peak_ba),
