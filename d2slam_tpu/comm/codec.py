@@ -32,6 +32,7 @@ ref_frame_id == drone_id (every drone starts as its own reference).
 from __future__ import annotations
 
 import struct
+import zlib
 from typing import NamedTuple, Optional
 
 import numpy as np
@@ -216,3 +217,40 @@ def decode_loop_edge(buf: bytes):
         return None
     rel = np.frombuffer(buf, np.float32, 7, _LOOP.size).astype(np.float64)
     return fa, fb, da, db, rel, pc, yc, inl
+
+
+# ---------------------------------------------------------------------------
+# whole-image attachments (VIOKF_IMG_ARRAY channel, optional)
+# ---------------------------------------------------------------------------
+
+_IMG = struct.Struct("<IHHBBq")
+_IMG_MAGIC = 0xD25A1336
+
+
+def encode_image_packet(drone_id: int, frame_id: int, view: int,
+                        img: "np.ndarray", n_views: int = 1) -> bytes:
+    """One compressed camera view of a keyframe (reference ``send_img``:
+    LoopCam JPEG-encodes each view into VisualImageDesc.image,
+    loop_cam.cpp:72-84, broadcast on VIOKF_IMG_ARRAY, loop_net.cpp:10-22.
+    Here: lossless PNG via stdlib zlib — see utils/pngio.py)."""
+    from d2slam_tpu.utils.pngio import png_encode_gray
+
+    return _IMG.pack(_IMG_MAGIC, 1, drone_id, view, n_views,
+                     frame_id) + png_encode_gray(img)
+
+
+def decode_image_packet(buf: bytes):
+    """Returns (drone_id, frame_id, view, n_views, img[H,W] uint8)
+    or None."""
+    if len(buf) < _IMG.size + 8:
+        return None
+    magic, ver, did, view, n_views, fid = _IMG.unpack_from(buf, 0)
+    if magic != _IMG_MAGIC or ver != 1:
+        return None
+    from d2slam_tpu.utils.pngio import png_decode_gray
+
+    try:
+        img = png_decode_gray(buf[_IMG.size:])
+    except (ValueError, zlib.error, struct.error):
+        return None
+    return did, fid, view, n_views, img

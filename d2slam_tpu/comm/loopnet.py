@@ -37,6 +37,7 @@ from d2slam_tpu.comm.codec import (
 from d2slam_tpu.comm.transport import (
     CH_SWARM_LOOP,
     CH_VIOKF_HEADER,
+    CH_VIOKF_IMG,
     CH_VIOKF_LANDMARKS,
 )
 
@@ -69,10 +70,15 @@ class LoopNet:
         lazy: bool = False,
         keep_frames: int = 256,
         request_timeout: float = 0.5,
+        send_img: bool = False,
     ):
         self.transport = transport
         self.self_id = self_id
         self.lazy = lazy
+        # reference `send_img` (d2frontend_params.cpp:45): also ship the
+        # compressed camera view(s) of every keyframe on the image
+        # channel (VIOKF_IMG_ARRAY) for debug/visualization on peers
+        self.send_img = send_img
         self.request_timeout = request_timeout
         # full packets kept for serving lazy requests (bounded ring)
         self._sent: Dict[int, RemoteKeyframePacket] = {}
@@ -93,6 +99,9 @@ class LoopNet:
         # tuple (fid_a, fid_b, drone_a, drone_b, rel[7], pos_cov,
         # yaw_cov, inliers)
         self.on_loop_edge: Optional[Callable[[tuple], None]] = None
+        # whole-image attachments (send_img peers): receives
+        # (drone_id, frame_id, view, n_views, img[H, W] uint8)
+        self.on_image: Optional[Callable[[tuple], None]] = None
 
     def broadcast_loop_edge(self, frame_id_a: int, frame_id_b: int,
                             drone_id_a: int, drone_id_b: int,
@@ -115,11 +124,16 @@ class LoopNet:
         self,
         pkt: RemoteKeyframePacket,
         nearby_drones: Optional[Set[int]] = None,
+        images: Optional[List[np.ndarray]] = None,
     ) -> None:
         """Send one of our keyframes. Lazy mode sends the header only —
         unless ``nearby_drones`` is non-empty, in which case the full
         frame goes out (the reference sends full features to drones in
-        near-field range so their VIO can fuse them immediately)."""
+        near-field range so their VIO can fuse them immediately).
+
+        With ``send_img`` on and ``images`` given, each view also goes
+        out PNG-compressed on the image channel (reference send_img →
+        VIOKF_IMG_ARRAY, loop_cam.cpp:72-84 + loop_net.cpp:10-22)."""
         full = (not self.lazy) or bool(nearby_drones)
         data = encode_keyframe(pkt if full else header_only(pkt))
         self._remember(pkt)
@@ -127,6 +141,16 @@ class LoopNet:
         self.transport.send(
             CH_VIOKF_LANDMARKS if full else CH_VIOKF_HEADER, data
         )
+        if self.send_img and images:
+            from d2slam_tpu.comm.codec import encode_image_packet
+
+            for v, img in enumerate(images):
+                buf = encode_image_packet(
+                    self.self_id, int(pkt.frame_id), v, img,
+                    n_views=len(images),
+                )
+                self.sent_bytes += len(buf)
+                self.transport.send(CH_VIOKF_IMG, buf)
 
     def _remember(self, pkt: RemoteKeyframePacket) -> None:
         fid = int(pkt.frame_id)
@@ -183,6 +207,13 @@ class LoopNet:
                 dec = decode_loop_edge(payload)
                 if dec is not None and self.on_loop_edge is not None:
                     self.on_loop_edge(dec)
+            elif ch == CH_VIOKF_IMG:
+                if self.on_image is not None:
+                    from d2slam_tpu.comm.codec import decode_image_packet
+
+                    dec = decode_image_packet(payload)
+                    if dec is not None:
+                        self.on_image(dec)
             elif ch == CH_KF_REQUEST and len(payload) >= _REQ.size:
                 req, owner, fid = _REQ.unpack_from(payload, 0)
                 if owner != self.self_id:

@@ -21,6 +21,7 @@ CH_DISTRIB_VINS = 4      # "DISTRIB_VINS_DATA"
 CH_SYNC_SIGNAL = 5       # "SYNC_SIGNAL"
 CH_SYNC_SLDWIN = 6       # "SYNC_SLDWIN"
 CH_PGO_DATA = 7          # "PGO_Sync_Data"
+CH_VIOKF_IMG = 9         # "VIOKF_IMG_ARRAY" (optional send_img attachments)
 
 _LIB = None
 

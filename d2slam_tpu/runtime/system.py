@@ -75,6 +75,9 @@ class SystemConfig:
     gdesc_dim: int = 1024
     lazy_broadcast: bool = False         # lazy_broadcast_keyframe
     broadcast: bool = True               # send keyframes when transport set
+    # ship the PNG-compressed camera view(s) with every keyframe
+    # (reference send_img -> VIOKF_IMG_ARRAY; debug/visualization)
+    send_img: bool = False
     # reference ESTIMATION_MODE (d2basetypes.h): "single" solves only
     # our own window; "distributed" is DISTRIBUTED_CAMERA_CONSENUS —
     # remote keyframes join our window (addFrameRemote) and every solve
@@ -228,16 +231,37 @@ class D2SLAMSystem:
                 ChannelRouter,
             )
 
+            from d2slam_tpu.comm.transport import CH_VIOKF_IMG
+
             router = ChannelRouter(transport)
             self.loopnet = LoopNet(
                 router.route(
                     {CH_VIOKF_HEADER, CH_VIOKF_LANDMARKS, CH_KF_REQUEST,
-                     CH_SWARM_LOOP}
+                     CH_SWARM_LOOP, CH_VIOKF_IMG}
                 ),
                 self.drone_id, lazy=sys_cfg.lazy_broadcast,
+                send_img=sys_cfg.send_img,
             )
             self.loopnet.on_keyframe = self._on_remote_keyframe
             self.loopnet.on_loop_edge = self._on_loop_edge_msg
+            # whole-image attachments from send_img peers, kept in a
+            # small ring for debug/visualization (the reference shows
+            # them in its spy/rviz tools; nothing in the estimation
+            # path depends on them)
+            self.remote_images: Dict[Tuple[int, int, int], np.ndarray] = {}
+            self._remote_img_order: List[Tuple[int, int, int]] = []
+
+            def _on_image(dec):
+                did, fid, view, _n, im = dec
+                key = (did, fid, view)
+                if key not in self.remote_images:
+                    self._remote_img_order.append(key)
+                    if len(self._remote_img_order) > 64:
+                        self.remote_images.pop(
+                            self._remote_img_order.pop(0), None)
+                self.remote_images[key] = im
+
+            self.loopnet.on_image = _on_image
             # lazy-mode pull gate: request the full frame when the
             # header's global descriptor hits our retrieval DB
             # (reference matched-frame exchange: onImgDescHeaderRecevied
@@ -325,7 +349,7 @@ class D2SLAMSystem:
         od = self.estimator.input_frame(ff)
         if od is not None:
             self.odometry = od
-            self._register_keyframe(ff, od, img_left)
+            self._register_keyframe(ff, od, [img_left, img_right])
         return od
 
     def input_quadcam(self, t: float, imgs: List[np.ndarray]
@@ -341,7 +365,7 @@ class D2SLAMSystem:
         od = self.estimator.input_frame(ff)
         if od is not None:
             self.odometry = od
-            self._register_keyframe(ff, od, imgs[0])
+            self._register_keyframe(ff, od, list(imgs))
         return od
 
     def input_rgbd(self, t: float, img: np.ndarray, depth: np.ndarray
@@ -383,14 +407,15 @@ class D2SLAMSystem:
     # ------------------------------------------------------------------
 
     def _register_keyframe(self, ff: FrontendFrame, od: Odometry,
-                           img: Optional[np.ndarray],
+                           img,  # one view, list of views, or None
                            gdesc: Optional[np.ndarray] = None,
                            entry: Optional[KeyframeEntry] = None) -> None:
         pose = np.asarray(od.pose, np.float64)
         self._add_pgo_node(self.drone_id, ff.frame_id, ff.stamp, pose)
 
         if gdesc is None:
-            gdesc = (self.gdesc_fn(img) if img is not None
+            g_img = img[0] if isinstance(img, list) else img
+            gdesc = (self.gdesc_fn(g_img) if g_img is not None
                      else np.zeros(self.sys.gdesc_dim, np.float32))
         gdesc = np.asarray(gdesc, np.float32)
 
@@ -428,7 +453,11 @@ class D2SLAMSystem:
                 # d2vins_node.cpp:177-199 broadcast logic)
                 nearby = (self.nearby_drones(ff.stamp)
                           if self.sys.lazy_broadcast else None)
-                self.loopnet.broadcast_keyframe(pkt, nearby_drones=nearby)
+                imgs = None
+                if self.sys.send_img and img is not None:
+                    imgs = img if isinstance(img, list) else [img]
+                self.loopnet.broadcast_keyframe(pkt, nearby_drones=nearby,
+                                                images=imgs)
 
         self._kf_since_pgo += 1
         if (self.sys.enable_pgo

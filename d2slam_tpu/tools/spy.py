@@ -28,6 +28,7 @@ from d2slam_tpu.comm.transport import (
     CH_SYNC_SIGNAL,
     CH_SYNC_SLDWIN,
     CH_VIOKF_HEADER,
+    CH_VIOKF_IMG,
     CH_VIOKF_LANDMARKS,
 )
 
@@ -39,6 +40,7 @@ CHANNEL_NAMES = {
     CH_SYNC_SIGNAL: "SYNC_SIGNAL",
     CH_SYNC_SLDWIN: "SYNC_SLDWIN",
     CH_PGO_DATA: "PGO_Sync_Data",
+    CH_VIOKF_IMG: "VIOKF_IMG_ARRAY",
     8: "KF_REQUEST",
 }
 

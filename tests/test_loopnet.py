@@ -163,3 +163,47 @@ def test_move_all_poses_map_merge():
     expect = np_lie.pose_compose(T, np_lie.pose_compose(G, gt_pose))
     err = np.linalg.norm(odom.pose[:3] - expect[:3])
     assert err < 0.05, f"post-merge drift {err}"
+
+
+def test_png_roundtrip():
+    from d2slam_tpu.utils.pngio import png_decode_gray, png_encode_gray
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (48, 64), dtype=np.uint8)
+    assert np.array_equal(png_decode_gray(png_encode_gray(img)), img)
+    # float input in [0, 1] quantizes to u8
+    f = rng.uniform(0, 1, (8, 8))
+    dec = png_decode_gray(png_encode_gray(f))
+    assert dec.shape == (8, 8)
+    assert np.abs(dec.astype(np.float64) / 255.0 - f).max() < 1.0 / 255.0
+
+
+def test_send_img_attachments():
+    """send_img peers receive every view PNG-compressed on the image
+    channel (reference send_img -> VIOKF_IMG_ARRAY)."""
+    hub = Hub()
+    a = LoopNet(hub.endpoint(1), 1, lazy=False, send_img=True)
+    b = LoopNet(hub.endpoint(2), 2, lazy=False)
+    got_imgs, got_kf = [], []
+    b.on_image = got_imgs.append
+    b.on_keyframe = got_kf.append
+    rng = np.random.default_rng(4)
+    views = [rng.integers(0, 256, (24, 32), dtype=np.uint8)
+             for _ in range(2)]
+    a.broadcast_keyframe(make_pkt(frame_id=9), images=views)
+    b.poll(now=0.0)
+    assert len(got_kf) == 1 and len(got_imgs) == 2
+    for v, (did, fid, view, n_views, im) in enumerate(got_imgs):
+        assert (did, fid, n_views) == (1, 9, 2) and view == v
+        assert np.array_equal(im, views[v])
+
+
+def test_send_img_off_by_default():
+    hub = Hub()
+    a = LoopNet(hub.endpoint(1), 1)
+    b = LoopNet(hub.endpoint(2), 2)
+    got = []
+    b.on_image = got.append
+    a.broadcast_keyframe(make_pkt(), images=[np.zeros((8, 8), np.uint8)])
+    b.poll(now=0.0)
+    assert got == []
