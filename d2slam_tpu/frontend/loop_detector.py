@@ -47,6 +47,14 @@ class LoopDetectorConfig:
     auto_thres: bool = False
     auto_thres_sigma: float = 3.0
     auto_thres_min_samples: int = 20
+    # prune descriptor matches with a RANSAC plane homography before
+    # PnP (reference enable_homography_test,
+    # loop_detector.cpp:610-617: findHomography RANSAC @ 10 px; skipped
+    # when a learned matcher is in use, matching the reference's
+    # `&& !enable_superglue` guard). Threshold in normalized-plane
+    # units = pixels / focal.
+    enable_homography_test: bool = False
+    homography_thresh: float = 10.0 / 460.0
 
 
 class LoopEdge(NamedTuple):
@@ -201,6 +209,25 @@ class LoopDetector:
             dominant = np.bincount(offs, minlength=n_views).argmax()
             mok = mok.copy()
             mok[sel0[offs != dominant]] = False
+
+        # optional planar-consistency pruning (reference
+        # enable_homography_test; only for the plain descriptor
+        # matcher, as in the reference)
+        if (self.cfg.enable_homography_test and self.matcher_fn is None
+                and mok.sum() >= 4):
+            from d2slam_tpu.frontend.pnp import ransac_homography
+
+            sel_h = np.flatnonzero(mok)
+            ra = entry.kpt_rays[sel_h]
+            rb = old.kpt_rays[midx[sel_h]]
+            fwd = (ra[:, 2] > 0.1) & (rb[:, 2] > 0.1)
+            if fwd.sum() >= 4:
+                pa = ra[fwd, :2] / ra[fwd, 2:3]
+                pb = rb[fwd, :2] / rb[fwd, 2:3]
+                hmask = ransac_homography(
+                    pa, pb, self.cfg.homography_thresh)
+                mok = mok.copy()
+                mok[sel_h[fwd][~hmask]] = False
 
         if mok.sum() < self.cfg.min_match_per_dir:
             return None

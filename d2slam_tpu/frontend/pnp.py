@@ -55,6 +55,72 @@ def _dlt_pose(rays: np.ndarray, pts_w: np.ndarray) -> Optional[np.ndarray]:
     return np.concatenate([-(R.T @ t), q])
 
 
+def _planar_pose(rays: np.ndarray, pts_w: np.ndarray
+                 ) -> Optional[np.ndarray]:
+    """Pose from >=4 COPLANAR correspondences via plane homography.
+
+    The 6-point DLT above is degenerate when the world points lie on a
+    plane (rank-deficient null space) — but planar scenes are exactly
+    what corridor/wall loop closures see, and the reference's
+    cv::solvePnPRansac / OpenGV solvers handle them
+    (d2frontend/src/pnp_utils.cpp:11-93). Strategy: build an in-plane
+    frame, estimate the ray<-plane homography H = [R e1, R e2, R c + t]
+    by DLT, and decompose with orthonormalization.
+    Returns T_w_cam [7] or None.
+    """
+    n = len(rays)
+    if n < 4:
+        return None
+    c = pts_w.mean(axis=0)
+    Q = pts_w - c
+    _, S, Vt = np.linalg.svd(Q, full_matrices=False)
+    xy = Q @ Vt[:2].T                      # plane coordinates [N, 2]
+    m = np.concatenate([xy, np.ones((n, 1))], axis=1)
+    A = np.zeros((2 * n, 9))
+    for i in range(n):
+        x, y, z = rays[i]
+        A[2 * i, 0:3] = -z * m[i]
+        A[2 * i, 6:9] = x * m[i]
+        A[2 * i + 1, 3:6] = -z * m[i]
+        A[2 * i + 1, 6:9] = y * m[i]
+    _, _, VtA = np.linalg.svd(A)
+    H = VtA[-1].reshape(3, 3)
+    lam = np.sqrt(np.linalg.norm(H[:, 0]) * np.linalg.norm(H[:, 1]))
+    if lam < 1e-12:
+        return None
+    # plane frame rows [e1; e2; e1 x e2] (guaranteed right-handed)
+    F = np.stack([Vt[0], Vt[1], np.cross(Vt[0], Vt[1])])
+    for sign in (1.0, -1.0):
+        G = sign * H / lam
+        g3 = np.cross(G[:, 0], G[:, 1])
+        Gm = np.stack([G[:, 0], G[:, 1], g3], axis=1)
+        U, _, Vt2 = np.linalg.svd(Gm)
+        G_orth = U @ np.diag([1.0, 1.0, np.linalg.det(U @ Vt2)]) @ Vt2
+        R = G_orth @ F      # camera-from-world: G maps plane coords
+        t = sign * H[:, 2] / lam - R @ c
+        depth = (R @ pts_w.T + t[:, None])[2]
+        if np.median(depth) > 0:
+            q = np_lie.rotmat_to_quat(R.T)
+            return np.concatenate([-(R.T @ t), q])
+    return None
+
+
+def _pose_hypotheses(rays: np.ndarray, pts_w: np.ndarray) -> list:
+    """Candidate poses from one minimal sample: the 6-point DLT, plus
+    the planar decomposition when the sample is (near-)coplanar."""
+    out = []
+    T = _dlt_pose(rays, pts_w)
+    if T is not None:
+        out.append(T)
+    Q = pts_w - pts_w.mean(axis=0)
+    S = np.linalg.svd(Q, compute_uv=False)
+    if S[0] > 1e-9 and S[2] / S[0] < 0.1:   # flat sample: DLT unreliable
+        T = _planar_pose(rays, pts_w)
+        if T is not None:
+            out.append(T)
+    return out
+
+
 def _angular_errors(T_w_cam, rays, pts_w):
     R = np_lie.quat_to_rotmat(T_w_cam[3:])
     pc = (pts_w - T_w_cam[:3]) @ R
@@ -187,26 +253,23 @@ def ransac_pnp(
         rng = np.random.default_rng(seed)
         for _ in range(iters):
             idx = rng.choice(n, 6, replace=False)
-            T = _dlt_pose(rays[idx], pts_w[idx])
-            if T is None:
-                continue
-            err = _angular_errors(T, rays, pts_w)
-            inl = err < thresh
-            if inl.sum() > best_inl.sum():
-                best_T, best_inl = T, inl
+            for T in _pose_hypotheses(rays[idx], pts_w[idx]):
+                err = _angular_errors(T, rays, pts_w)
+                inl = err < thresh
+                if inl.sum() > best_inl.sum():
+                    best_T, best_inl = T, inl
     if best_T is None or best_inl.sum() < min_inliers:
         return None, best_inl
-    # refine on inliers: GN on tangent of T_w_cam
+    # refine on inliers: re-fit (DLT or planar) on the consensus set
     T = best_T
     for _ in range(refine_iters):
-        T_new = _dlt_pose(rays[best_inl], pts_w[best_inl])
-        if T_new is None:
-            break
-        err = _angular_errors(T_new, rays, pts_w)
-        new_inl = err < thresh
-        if new_inl.sum() >= best_inl.sum():
-            T, best_inl = T_new, new_inl
-        else:
+        improved = False
+        for T_new in _pose_hypotheses(rays[best_inl], pts_w[best_inl]):
+            err = _angular_errors(T_new, rays, pts_w)
+            new_inl = err < thresh
+            if new_inl.sum() >= best_inl.sum():
+                T, best_inl, improved = T_new, new_inl, True
+        if not improved:
             break
     return T, best_inl
 
@@ -240,3 +303,46 @@ def ransac_pnp_body(
         T_wc = np_lie.pose_compose(T_w_body, extrinsics[int(c)])
         inl[m] = _angular_errors(T_wc, rays_cam[m], pts_w[m]) < thresh
     return T_w_body, inl
+
+
+def ransac_homography(pts_a: np.ndarray, pts_b: np.ndarray,
+                      thresh: float, iters: int = 100,
+                      seed: int = 0) -> np.ndarray:
+    """Inlier mask of a RANSAC plane homography b -> a on normalized
+    image-plane points [N, 2].
+
+    Match-pruning gate of the reference loop matcher
+    (enable_homography_test: cv::findHomography(..., RANSAC, 10.0),
+    d2frontend/src/loop_detector.cpp:610-617 — matches inconsistent
+    with the dominant planar motion are dropped before PnP). Hypothesis
+    fitting is 4-point DLT; all hypotheses are scored vectorized.
+    ``thresh`` is in normalized-plane units (pixels / focal length).
+    """
+    n = len(pts_a)
+    if n < 4:
+        return np.ones(n, bool)
+    rng = np.random.default_rng(seed)
+    one = np.ones((n, 1))
+    hb = np.concatenate([pts_b, one], axis=1)            # [N, 3]
+    best_mask = np.ones(n, bool)
+    best_inl = -1
+    for _ in range(iters):
+        sel = rng.choice(n, 4, replace=False)
+        A = np.zeros((8, 9))
+        for k, i in enumerate(sel):
+            x, y = pts_b[i]
+            u, v = pts_a[i]
+            A[2 * k] = [-x, -y, -1, 0, 0, 0, u * x, u * y, u]
+            A[2 * k + 1] = [0, 0, 0, -x, -y, -1, v * x, v * y, v]
+        _, s, vt = np.linalg.svd(A)
+        H = vt[-1].reshape(3, 3)
+        proj = hb @ H.T                                   # [N, 3]
+        w = proj[:, 2]
+        ok_w = np.abs(w) > 1e-8
+        uv = proj[:, :2] / np.where(ok_w, w, 1.0)[:, None]
+        err = np.linalg.norm(uv - pts_a, axis=1)
+        mask = ok_w & (err < thresh)
+        if mask.sum() > best_inl:
+            best_inl = int(mask.sum())
+            best_mask = mask
+    return best_mask

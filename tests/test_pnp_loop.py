@@ -206,3 +206,89 @@ def test_adaptive_retrieval_gate():
     revisit = unit(base[3] + 0.05 * rng.normal(0, 1, 4096))
     score = det.query_score(revisit)
     assert score > thres
+
+
+def test_ransac_homography_mask():
+    from d2slam_tpu.frontend.pnp import ransac_homography
+
+    rng = np.random.default_rng(11)
+    pts = rng.uniform(-0.5, 0.5, (60, 2))
+    H = np.array([[1.02, 0.01, 0.03], [-0.01, 0.98, -0.02],
+                  [0.05, -0.03, 1.0]])
+    hb = np.concatenate([pts, np.ones((60, 1))], 1) @ H.T
+    pa = hb[:, :2] / hb[:, 2:]
+    pa[:10] += rng.uniform(0.2, 0.4, (10, 2))  # gross outliers
+    m = ransac_homography(pa, pts, thresh=0.02)
+    assert m[:10].sum() == 0 and m[10:].sum() >= 45
+    # degenerate input passes through
+    assert ransac_homography(pa[:3], pts[:3], 0.02).all()
+
+
+def test_loop_detector_homography_gate():
+    """Planar scene + corrupted matches: the homography test drops the
+    bad correspondences and the loop edge survives (reference
+    enable_homography_test, loop_detector.cpp:610-617)."""
+    rng = np.random.default_rng(5)
+    ext = default_extrinsics()
+    cfg = LoopDetectorConfig(min_gap_frames=2, min_inliers=20,
+                             min_match_per_dir=10,
+                             enable_homography_test=True)
+    det = LoopDetector(cfg, ext)
+
+    n = 80
+    # planar wall x = 10 ahead of camera0 (+x forward)
+    lms = np.concatenate(
+        [np.full((n, 1), 10.0), rng.uniform(-5, 5, (n, 1)),
+         rng.uniform(-1, 3, (n, 1))], axis=1
+    )
+    pose_old = np.array([0.0, 0, 0, 0, 0, 0, 1])
+    T_cam_old = np_lie.pose_compose(pose_old, ext[0])
+    R = np_lie.quat_to_rotmat(T_cam_old[3:])
+    pc = (lms - T_cam_old[:3]) @ R
+    rays_old = pc / np.linalg.norm(pc, axis=1, keepdims=True)
+    desc = rng.normal(0, 1, (n, 256)).astype(np.float32)
+    desc /= np.linalg.norm(desc, axis=1, keepdims=True)
+    gdesc = rng.normal(0, 1, 4096).astype(np.float32)
+    gdesc /= np.linalg.norm(gdesc)
+    det.add_keyframe(
+        make_entry(0, 0, pose_old, rays_old, np.zeros(n, np.int32),
+                   desc, lms), gdesc,
+    )
+
+    pose_new = np.array([1.0, 0.5, 0.1, 0, 0, np.sin(0.05), np.cos(0.05)])
+    T_cam_new = np_lie.pose_compose(pose_new, ext[0])
+    Rn = np_lie.quat_to_rotmat(T_cam_new[3:])
+    pcn = (lms - T_cam_new[:3]) @ Rn
+    rays_new = pcn / np.linalg.norm(pcn, axis=1, keepdims=True)
+    # 15 features look (desc-wise) like the WRONG old landmarks ->
+    # off-plane correspondences the homography gate must remove
+    desc_new = desc + rng.normal(0, 0.03, desc.shape).astype(np.float32)
+    perm = rng.permutation(15)
+    desc_new[:15] = desc[perm] + rng.normal(0, 0.03, (15, 256))
+    desc_new /= np.linalg.norm(desc_new, axis=1, keepdims=True)
+
+    entry = make_entry(10, 0, pose_new, rays_new, np.zeros(n, np.int32),
+                       desc_new, np.full((n, 3), np.nan))
+    edge = det.detect(entry, gdesc)
+    assert edge is not None
+    rel_true = np_lie.pose_compose(np_lie.pose_inverse(pose_old), pose_new)
+    np.testing.assert_allclose(edge.rel_pose[:3], rel_true[:3], atol=0.05)
+
+
+def test_ransac_pnp_planar_scene():
+    """Coplanar landmarks (wall/corridor loops): the 6-point DLT is
+    degenerate there, the planar-homography hypothesis recovers the
+    pose (reference solvers EPnP/OpenGV handle planar natively)."""
+    rng = np.random.default_rng(9)
+    n = 60
+    pts = np.concatenate(
+        [rng.uniform(-4, 4, (n, 1)), rng.uniform(-2, 2, (n, 1)),
+         np.full((n, 1), 8.0)], axis=1
+    )  # plane z = 8 in front of camera
+    T_true = np.array([0.4, -0.2, 0.5, 0, np.sin(0.1), 0, np.cos(0.1)])
+    R = np_lie.quat_to_rotmat(T_true[3:])
+    pc = (pts - T_true[:3]) @ R
+    rays = pc / np.linalg.norm(pc, axis=1, keepdims=True)
+    T, inl = ransac_pnp(rays, pts, thresh=2.0 / 460.0, min_inliers=30)
+    assert T is not None and inl.sum() >= 55
+    assert np.linalg.norm(T[:3] - T_true[:3]) < 0.02
