@@ -140,7 +140,9 @@ def _ransac_pnp_device_kernel(rays, pts_w, valid, idx, thresh):
 
     rays/pts_w padded to a fixed N with ``valid``; idx [K, 6] sample
     indices (host-generated). Returns (R_cw [K,3,3], t [K,3],
-    n_inliers [K]).
+    n_inliers [K]). DLT hypotheses only — for (near-)coplanar scenes
+    use the host path, which adds the planar-homography decomposition
+    (``_planar_pose``).
     """
     import jax
     import jax.numpy as jnp
