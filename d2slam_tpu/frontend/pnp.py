@@ -140,9 +140,10 @@ def _ransac_pnp_device_kernel(rays, pts_w, valid, idx, thresh):
 
     rays/pts_w padded to a fixed N with ``valid``; idx [K, 6] sample
     indices (host-generated). Returns (R_cw [K,3,3], t [K,3],
-    n_inliers [K]). DLT hypotheses only — for (near-)coplanar scenes
-    use the host path, which adds the planar-homography decomposition
-    (``_planar_pose``).
+    n_inliers [K]). Each sample contributes a 6-point-DLT hypothesis
+    AND a planar-homography hypothesis (the batched ``_planar_pose``),
+    so coplanar scenes work on this path too; the returned pose per
+    sample is whichever scored more inliers.
     """
     import jax
     import jax.numpy as jnp
@@ -185,6 +186,52 @@ def _ransac_pnp_device_kernel(rays, pts_w, valid, idx, thresh):
     t = jnp.where(flip[:, None], -t, t)
     n_inl2, _ = jax.vmap(score)(R, t)
     n_inl = jnp.where(flip, n_inl2, n_inl) * ok
+
+    # ---- planar-homography hypotheses (batched _planar_pose) ----
+    pts_s = pts_w[idx]                                    # [K, 6, 3]
+    c = pts_s.mean(axis=1)
+    Q = pts_s - c[:, None]
+    _, _, Vtp = jnp.linalg.svd(Q, full_matrices=False)    # [K, 3, 3]
+    xy = jnp.einsum("knj,kij->kni", Q, Vtp[:, :2])        # [K, 6, 2]
+    m = jnp.concatenate([xy, jnp.ones_like(xy[..., :1])], axis=-1)
+    zero3 = jnp.zeros_like(m)
+    hrows1 = jnp.concatenate([-z * m, zero3, x * m], axis=-1)
+    hrows2 = jnp.concatenate([zero3, -z * m, y * m], axis=-1)
+    Ah = jnp.concatenate([hrows1, hrows2], axis=1)        # [K, 12, 9]
+    _, _, VtA = jnp.linalg.svd(Ah)
+    H = VtA[:, -1, :].reshape(-1, 3, 3)
+    lam = jnp.sqrt(jnp.linalg.norm(H[:, :, 0], axis=-1)
+                   * jnp.linalg.norm(H[:, :, 1], axis=-1))
+    ok_h = lam > 1e-12
+    Hn = H / jnp.where(ok_h, lam, 1.0)[:, None, None]
+    F = jnp.stack([Vtp[:, 0], Vtp[:, 1],
+                   jnp.cross(Vtp[:, 0], Vtp[:, 1])], axis=1)
+
+    def planar_rt(sign):
+        g1, g2 = sign * Hn[:, :, 0], sign * Hn[:, :, 1]
+        Gm = jnp.stack([g1, g2, jnp.cross(g1, g2)], axis=-1)
+        Ug, _, Vg = jnp.linalg.svd(Gm)
+        detg = jnp.linalg.det(jnp.einsum("kij,kjl->kil", Ug, Vg))
+        Dg = jnp.stack(
+            [jnp.ones_like(detg), jnp.ones_like(detg), detg], axis=-1)
+        Go = jnp.einsum("kij,kj,kjl->kil", Ug, Dg, Vg)
+        Rp = jnp.einsum("kij,kjl->kil", Go, F)
+        tp = sign * Hn[:, :, 2] - jnp.einsum("kij,kj->ki", Rp, c)
+        return Rp, tp
+
+    Rp1, tp1 = planar_rt(1.0)
+    Rp2, tp2 = planar_rt(-1.0)
+    np1, _ = jax.vmap(score)(Rp1, tp1)
+    np2, _ = jax.vmap(score)(Rp2, tp2)
+    use2 = np2 > np1
+    Rp = jnp.where(use2[:, None, None], Rp2, Rp1)
+    tp = jnp.where(use2[:, None], tp2, tp1)
+    npl = jnp.where(use2, np2, np1) * ok_h
+
+    better = npl > n_inl
+    R = jnp.where(better[:, None, None], Rp, R)
+    t = jnp.where(better[:, None], tp, t)
+    n_inl = jnp.where(better, npl, n_inl)
     return R, t, n_inl
 
 

@@ -292,3 +292,22 @@ def test_ransac_pnp_planar_scene():
     T, inl = ransac_pnp(rays, pts, thresh=2.0 / 460.0, min_inliers=30)
     assert T is not None and inl.sum() >= 55
     assert np.linalg.norm(T[:3] - T_true[:3]) < 0.02
+
+
+def test_ransac_pnp_planar_device():
+    """The batched device kernel also carries planar-homography
+    hypotheses, so coplanar scenes work on the device path too."""
+    rng = np.random.default_rng(9)
+    n = 60
+    pts = np.concatenate(
+        [rng.uniform(-4, 4, (n, 1)), rng.uniform(-2, 2, (n, 1)),
+         np.full((n, 1), 8.0)], axis=1
+    )
+    T_true = np.array([0.4, -0.2, 0.5, 0, np.sin(0.1), 0, np.cos(0.1)])
+    R = np_lie.quat_to_rotmat(T_true[3:])
+    pc = (pts - T_true[:3]) @ R
+    rays = pc / np.linalg.norm(pc, axis=1, keepdims=True)
+    T, inl = ransac_pnp(rays, pts, thresh=2.0 / 460.0, min_inliers=30,
+                        device=True)
+    assert T is not None and inl.sum() >= 55
+    assert np.linalg.norm(T[:3] - T_true[:3]) < 0.02
