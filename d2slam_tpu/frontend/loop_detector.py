@@ -55,6 +55,12 @@ class LoopDetectorConfig:
     # units = pixels / focal.
     enable_homography_test: bool = False
     homography_thresh: float = 10.0 / 460.0
+    # reject loops whose PnP attitude disagrees with the frame's ego
+    # roll/pitch — gravity is observable in VIO, so a verified loop
+    # cannot tilt it (reference gravityCheck + gravity_check_thres,
+    # pnp_utils.cpp:66-93: sin of the angle between the two
+    # body-frame gravity directions). Applies to inter-drone loops too.
+    gravity_check_thres: float = 0.06
 
 
 class LoopEdge(NamedTuple):
@@ -249,10 +255,21 @@ class LoopDetector:
         if T_w_body is None or inl.sum() < self.cfg.min_inliers:
             return None
 
-        # acceptance gates vs ego-motion odometry (reference gravityCheck
-        # + yaw/pos gating): the PnP pose is in OLD's world frame; the
-        # implied relative pose old_T_new must be consistent for
-        # intra-drone loops
+        # gravity-consistency gate (reference gravityCheck,
+        # pnp_utils.cpp:85-93): body-frame gravity implied by the PnP
+        # attitude must match the one implied by the frame's ego
+        # attitude — VIO observes roll/pitch, so any verified loop
+        # agrees on them. Applies to intra- AND inter-drone loops.
+        g_pnp = np_lie.quat_to_rotmat(T_w_body[3:]).T @ np.array([0, 0, 1.0])
+        g_ego = np_lie.quat_to_rotmat(
+            np.asarray(entry.pose, np.float64)[3:]).T @ np.array([0, 0, 1.0])
+        if np.linalg.norm(np.cross(g_pnp, g_ego)) > \
+                self.cfg.gravity_check_thres:
+            return None
+
+        # acceptance gates vs ego-motion odometry (yaw/pos gating): the
+        # PnP pose is in OLD's world frame; the implied relative pose
+        # old_T_new must be consistent for intra-drone loops
         rel = np_lie.pose_compose(np_lie.pose_inverse(old.pose), T_w_body)
         if entry.drone_id == old.drone_id:
             odo_rel = np_lie.pose_compose(

@@ -311,3 +311,49 @@ def test_ransac_pnp_planar_device():
                         device=True)
     assert T is not None and inl.sum() >= 55
     assert np.linalg.norm(T[:3] - T_true[:3]) < 0.02
+
+
+def test_gravity_check_rejects_tilted_loop(monkeypatch):
+    """A PnP result whose attitude tilts gravity vs the frame's ego
+    attitude is rejected (reference gravityCheck, pnp_utils.cpp:85-93),
+    even when inliers are plentiful."""
+    import d2slam_tpu.frontend.loop_detector as mod
+
+    rng = np.random.default_rng(3)
+    ext = default_extrinsics()
+    cfg = LoopDetectorConfig(min_gap_frames=2, min_inliers=20,
+                             min_match_per_dir=10)
+    det = LoopDetector(cfg, ext)
+    n = 80
+    lms = np.concatenate(
+        [rng.uniform(6, 14, (n, 1)), rng.uniform(-5, 5, (n, 1)),
+         rng.uniform(0, 4, (n, 1))], axis=1)
+    pose_old = np.array([0.0, 0, 0, 0, 0, 0, 1])
+    T_cam = np_lie.pose_compose(pose_old, ext[0])
+    R = np_lie.quat_to_rotmat(T_cam[3:])
+    pc = (lms - T_cam[:3]) @ R
+    rays = pc / np.linalg.norm(pc, axis=1, keepdims=True)
+    desc = rng.normal(0, 1, (n, 256)).astype(np.float32)
+    desc /= np.linalg.norm(desc, axis=1, keepdims=True)
+    gdesc = rng.normal(0, 1, 4096).astype(np.float32)
+    gdesc /= np.linalg.norm(gdesc)
+    det.add_keyframe(
+        make_entry(0, 0, pose_old, rays, np.zeros(n, np.int32), desc, lms),
+        gdesc)
+    entry = make_entry(10, 0, pose_old, rays, np.zeros(n, np.int32),
+                       desc, np.full((n, 3), np.nan))
+
+    # identical frame: sanity — accepted
+    assert det.detect(entry, gdesc) is not None
+
+    # force a 10-degree-pitched PnP result: gravity gate must fire
+    tilt = np.array([0, 0, 0, 0, np.sin(0.09), 0, np.cos(0.09)])
+    real = mod.ransac_pnp_body
+
+    def tilted(*a, **k):
+        T, inl = real(*a, **k)
+        return (None, inl) if T is None else (np_lie.pose_compose(T, tilt),
+                                              inl)
+
+    monkeypatch.setattr(mod, "ransac_pnp_body", tilted)
+    assert det.detect(entry, gdesc) is None
