@@ -85,11 +85,11 @@ def average_keyed_poses(
 
     Returns (global_poses [n, 7], n_copies [n] — 1 means nobody else
     estimates that frame, so global == local and the dual stays zero).
+
+    Pure host numpy: the stacks are tiny (window x peers), so the
+    Markley average runs as ONE batched 4x4 eigendecomposition instead
+    of a jitted device call per frame per ADMM sub-step.
     """
-    import jax.numpy as jnp
-
-    from d2slam_tpu.geometry.lie import quat_average
-
     n = len(keys)
     out = np.array(poses, np.float64, copy=True)
     counts = np.ones(n, np.int64)
@@ -97,16 +97,35 @@ def average_keyed_poses(
     for (pkeys, pposes) in peer_copies.values():
         for k, p in zip(pkeys, pposes):
             by_key.setdefault(int(k), []).append(p)
+    # accumulate per-frame position sums and Markley matrices M = sum q q^T
+    # (sign-invariant, so no hemisphere fixup needed)
+    M = np.zeros((n, 4, 4))
+    pos_sum = poses[:, :3].astype(np.float64).copy()
+    q0 = poses[:, 3:].astype(np.float64)
+    q0 = q0 / np.maximum(np.linalg.norm(q0, axis=1, keepdims=True), 1e-12)
+    M += np.einsum("ni,nj->nij", q0, q0)
+    touched = np.zeros(n, bool)
     for i in range(n):
         others = by_key.get(int(keys[i]))
         if not others:
             continue
-        stack = np.vstack([poses[i]] + others).astype(np.float64)
-        counts[i] = len(stack)
-        out[i, :3] = stack[:, :3].mean(axis=0)
-        out[i, 3:] = np.asarray(
-            quat_average(jnp.asarray(stack[:, 3:]), jnp.ones(len(stack)))
+        stack = np.asarray(others, np.float64)
+        counts[i] = 1 + len(stack)
+        pos_sum[i] += stack[:, :3].sum(axis=0)
+        qs = stack[:, 3:]
+        qs = qs / np.maximum(
+            np.linalg.norm(qs, axis=1, keepdims=True), 1e-12
         )
+        M[i] += np.einsum("ki,kj->ij", qs, qs)
+        touched[i] = True
+    if touched.any():
+        sel = np.flatnonzero(touched)
+        _, vecs = np.linalg.eigh(M[sel])   # batched; top eigvec = last col
+        q_avg = vecs[:, :, -1]
+        # keep the average on the local hemisphere for stable duals
+        sign = np.where(np.sum(q_avg * q0[sel], axis=1) < 0, -1.0, 1.0)
+        out[sel, :3] = pos_sum[sel] / counts[sel, None]
+        out[sel, 3:] = q_avg * sign[:, None]
     return out, counts
 
 

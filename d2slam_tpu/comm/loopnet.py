@@ -82,6 +82,7 @@ class LoopNet:
         self.request_timeout = request_timeout
         # full packets kept for serving lazy requests (bounded ring)
         self._sent: Dict[int, RemoteKeyframePacket] = {}
+        self._sent_imgs: Dict[int, List[np.ndarray]] = {}
         self._sent_order: List[int] = []
         self._keep = keep_frames
         self._pending: Dict[Tuple[int, int], float] = {}  # (owner, fid) -> t
@@ -133,32 +134,42 @@ class LoopNet:
 
         With ``send_img`` on and ``images`` given, each view also goes
         out PNG-compressed on the image channel (reference send_img →
-        VIOKF_IMG_ARRAY, loop_cam.cpp:72-84 + loop_net.cpp:10-22)."""
+        VIOKF_IMG_ARRAY, loop_cam.cpp:72-84 + loop_net.cpp:10-22).
+        Images ride only with FULL sends — a lazy header-only broadcast
+        attaching whole images would defeat its bandwidth purpose; in
+        lazy mode they are served on the pull-request path instead."""
         full = (not self.lazy) or bool(nearby_drones)
         data = encode_keyframe(pkt if full else header_only(pkt))
-        self._remember(pkt)
+        self._remember(pkt, images if self.send_img else None)
         self.sent_bytes += len(data)
         self.transport.send(
             CH_VIOKF_LANDMARKS if full else CH_VIOKF_HEADER, data
         )
-        if self.send_img and images:
-            from d2slam_tpu.comm.codec import encode_image_packet
+        if self.send_img and images and full:
+            self._send_images(int(pkt.frame_id), images)
 
-            for v, img in enumerate(images):
-                buf = encode_image_packet(
-                    self.self_id, int(pkt.frame_id), v, img,
-                    n_views=len(images),
-                )
-                self.sent_bytes += len(buf)
-                self.transport.send(CH_VIOKF_IMG, buf)
+    def _send_images(self, frame_id: int, images: List[np.ndarray]) -> None:
+        from d2slam_tpu.comm.codec import encode_image_packet
 
-    def _remember(self, pkt: RemoteKeyframePacket) -> None:
+        for v, img in enumerate(images):
+            buf = encode_image_packet(
+                self.self_id, frame_id, v, img, n_views=len(images),
+            )
+            self.sent_bytes += len(buf)
+            self.transport.send(CH_VIOKF_IMG, buf)
+
+    def _remember(self, pkt: RemoteKeyframePacket,
+                  images: Optional[List[np.ndarray]] = None) -> None:
         fid = int(pkt.frame_id)
         if fid not in self._sent:
             self._sent_order.append(fid)
             if len(self._sent_order) > self._keep:
-                self._sent.pop(self._sent_order.pop(0), None)
+                old = self._sent_order.pop(0)
+                self._sent.pop(old, None)
+                self._sent_imgs.pop(old, None)
         self._sent[fid] = pkt
+        if images is not None:
+            self._sent_imgs[fid] = images
 
     def request_frame(self, owner: int, frame_id: int, now: float) -> None:
         key = (owner, int(frame_id))
@@ -223,6 +234,9 @@ class LoopNet:
                     data = encode_keyframe(pkt)
                     self.sent_bytes += len(data)
                     self.transport.send(CH_VIOKF_LANDMARKS, data)
+                    imgs = self._sent_imgs.get(int(fid))
+                    if imgs is not None:
+                        self._send_images(int(fid), imgs)
 
 
 def nearby_drones_from_pgo(

@@ -218,22 +218,30 @@ class LoopDetector:
 
         # optional planar-consistency pruning (reference
         # enable_homography_test; only for the plain descriptor
-        # matcher, as in the reference)
+        # matcher, as in the reference). The reference fits one
+        # homography PER camera-direction pair
+        # (computeCorrespondFeatures called per dir inside
+        # computeCorrespondFeaturesOnImageArray) — in multi-direction
+        # fisheye loops each view pair obeys a different plane-induced
+        # homography, so fit per entry-camera group and union inliers.
         if (self.cfg.enable_homography_test and self.matcher_fn is None
                 and mok.sum() >= 4):
             from d2slam_tpu.frontend.pnp import ransac_homography
 
             sel_h = np.flatnonzero(mok)
-            ra = entry.kpt_rays[sel_h]
-            rb = old.kpt_rays[midx[sel_h]]
-            fwd = (ra[:, 2] > 0.1) & (rb[:, 2] > 0.1)
-            if fwd.sum() >= 4:
+            mok = mok.copy()
+            for cam in np.unique(entry.kpt_cam[sel_h]):
+                grp = sel_h[entry.kpt_cam[sel_h] == cam]
+                ra = entry.kpt_rays[grp]
+                rb = old.kpt_rays[midx[grp]]
+                fwd = (ra[:, 2] > 0.1) & (rb[:, 2] > 0.1)
+                if fwd.sum() < 4:
+                    continue
                 pa = ra[fwd, :2] / ra[fwd, 2:3]
                 pb = rb[fwd, :2] / rb[fwd, 2:3]
                 hmask = ransac_homography(
                     pa, pb, self.cfg.homography_thresh)
-                mok = mok.copy()
-                mok[sel_h[fwd][~hmask]] = False
+                mok[grp[fwd][~hmask]] = False
 
         if mok.sum() < self.cfg.min_match_per_dir:
             return None

@@ -107,17 +107,24 @@ def _planar_pose(rays: np.ndarray, pts_w: np.ndarray
 
 def _pose_hypotheses(rays: np.ndarray, pts_w: np.ndarray) -> list:
     """Candidate poses from one minimal sample: the 6-point DLT, plus
-    the planar decomposition when the sample is (near-)coplanar."""
+    the planar decomposition when the sample is (near-)coplanar.
+
+    np.linalg.svd can raise LinAlgError on non-convergence for a
+    degenerate sample — treat that as "no hypothesis from this sample"
+    instead of crashing the caller (e.g. LoopDetector.detect)."""
     out = []
-    T = _dlt_pose(rays, pts_w)
-    if T is not None:
-        out.append(T)
-    Q = pts_w - pts_w.mean(axis=0)
-    S = np.linalg.svd(Q, compute_uv=False)
-    if S[0] > 1e-9 and S[2] / S[0] < 0.1:   # flat sample: DLT unreliable
-        T = _planar_pose(rays, pts_w)
+    try:
+        T = _dlt_pose(rays, pts_w)
         if T is not None:
             out.append(T)
+        Q = pts_w - pts_w.mean(axis=0)
+        S = np.linalg.svd(Q, compute_uv=False)
+        if S[0] > 1e-9 and S[2] / S[0] < 0.1:  # flat sample: DLT unreliable
+            T = _planar_pose(rays, pts_w)
+            if T is not None:
+                out.append(T)
+    except np.linalg.LinAlgError:
+        pass
     return out
 
 
@@ -383,7 +390,10 @@ def ransac_homography(pts_a: np.ndarray, pts_b: np.ndarray,
             u, v = pts_a[i]
             A[2 * k] = [-x, -y, -1, 0, 0, 0, u * x, u * y, u]
             A[2 * k + 1] = [0, 0, 0, -x, -y, -1, v * x, v * y, v]
-        _, s, vt = np.linalg.svd(A)
+        try:
+            _, s, vt = np.linalg.svd(A)
+        except np.linalg.LinAlgError:
+            continue  # degenerate sample: skip this hypothesis
         H = vt[-1].reshape(3, 3)
         proj = hb @ H.T                                   # [N, 3]
         w = proj[:, 2]

@@ -61,6 +61,77 @@ class TrackedFeature:
         self.n_tracks = 1
 
 
+# ---------------------------------------------------------------------------
+# vectorized host association helpers (no per-feature Python loops: these
+# run once per frame on the keyframe hot path)
+# ---------------------------------------------------------------------------
+
+
+def _assoc_lk_vec(new_pts: np.ndarray, ok: np.ndarray,
+                  prev_ids: np.ndarray, kpts: np.ndarray,
+                  valid: np.ndarray, ids: np.ndarray,
+                  max_dist: float = 2.0) -> None:
+    """Assign LK-tracked landmark ids to the nearest extracted keypoint
+    (< max_dist px), one keypoint per landmark and one landmark per
+    keypoint — conflicts resolved min-distance-first. Mutates ``ids``
+    in place. Vectorized equivalent of the reference trackLK keypoint
+    absorption."""
+    prev_ids = np.asarray(prev_ids)
+    cand = np.flatnonzero(ok & (prev_ids >= 0))
+    if not len(cand) or not len(kpts):
+        return
+    # one candidate per landmark id (keep first occurrence)
+    _, first = np.unique(prev_ids[cand], return_index=True)
+    cand = cand[np.sort(first)]
+    d = np.linalg.norm(kpts[None, :, :] - new_pts[cand, None, :], axis=2)
+    d = np.where((valid & (ids < 0))[None, :], d, np.inf)  # [nc, K]
+    j_near = np.argmin(d, axis=1)
+    d_near = d[np.arange(len(cand)), j_near]
+    good = np.flatnonzero(d_near < max_dist)
+    if not len(good):
+        return
+    good = good[np.argsort(d_near[good], kind="stable")]
+    _, keep = np.unique(j_near[good], return_index=True)
+    winners = good[keep]
+    ids[j_near[winners]] = prev_ids[cand[winners]]
+
+
+def _assign_matches_vec(idx: np.ndarray, ok: np.ndarray,
+                        src_ids: np.ndarray, ids: np.ndarray) -> None:
+    """Write matched source landmark ids onto target keypoints that are
+    still unassigned; first claimant (lowest source index) wins a
+    contested target. Mutates ``ids`` in place."""
+    sel = np.flatnonzero(ok)
+    if not len(sel):
+        return
+    tgt = idx[sel]
+    free = ids[tgt] < 0
+    sel, tgt = sel[free], tgt[free]
+    if not len(sel):
+        return
+    uniq_t, first = np.unique(tgt, return_index=True)
+    ids[uniq_t] = np.asarray(src_ids)[sel[first]]
+
+
+def _lookup_pts_vec(query_ids: np.ndarray, ref_ids: np.ndarray,
+                    ref_pts: np.ndarray):
+    """Vectorized id->point lookup: returns (found_mask [Nq], pts
+    [Nq, 2]) where pts rows are valid only under the mask. Duplicate
+    ref ids resolve to an arbitrary occurrence."""
+    query_ids = np.asarray(query_ids)
+    ref_ids = np.asarray(ref_ids)
+    out = np.zeros((len(query_ids), ref_pts.shape[1] if len(ref_pts) else 2))
+    if not len(ref_ids) or not len(query_ids):
+        return np.zeros(len(query_ids), bool), out
+    order = np.argsort(ref_ids, kind="stable")
+    sids = ref_ids[order]
+    loc = np.searchsorted(sids, query_ids)
+    locc = np.minimum(loc, len(sids) - 1)
+    found = (query_ids >= 0) & (sids[locc] == query_ids)
+    out[found] = np.asarray(ref_pts)[order[locc[found]]]
+    return found, out
+
+
 class FeatureTracker:
     def __init__(
         self,
@@ -283,14 +354,13 @@ class FeatureTracker:
                 continue
             rays = np.asarray(self._lift(v, views[v]["kpts"][sel]))
             vel = np.zeros_like(rays)
-            prev_pt_of = views[v]["prev_pt_of"]
-            for k, j in enumerate(sel):
-                lid = views[v]["ids"][j]
-                if lid in prev_pt_of:
-                    prev_ray = np.asarray(
-                        self._lift(v, prev_pt_of[lid][None])
-                    )[0]
-                    vel[k] = (rays[k] - prev_ray) / self.dt
+            found, prev_pt = _lookup_pts_vec(
+                views[v]["ids"][sel], views[v]["prev_ids"],
+                views[v]["prev_pts"],
+            )
+            if found.any():  # ONE batched lift for all carried features
+                prev_rays = np.asarray(self._lift(v, prev_pt[found]))
+                vel[found] = (rays[found] - prev_rays) / self.dt
             dep = None
             if depth_imgs is not None and depth_imgs[v] is not None:
                 dimg = np.asarray(depth_imgs[v])
@@ -328,21 +398,13 @@ class FeatureTracker:
                     jnp.asarray(prev["pts"], jnp.float32), jnp.asarray(live),
                 )
                 new_pts, ok = np.asarray(new_pts), np.asarray(ok)
-                already: set = set()
-                for i in np.flatnonzero(ok):
-                    lid = prev["ids"][i]
-                    if lid < 0 or lid in already:
-                        continue
-                    d = np.linalg.norm(kpts - new_pts[i], axis=1)
-                    j = int(np.argmin(d))
-                    if d[j] < 2.0 and ids[j] < 0 and valid[j]:
-                        ids[j] = lid
-                        already.add(lid)
+                _assoc_lk_vec(new_pts, ok, prev["ids"], kpts, valid, ids)
 
         kf = self.last_kf_mv.get(v)
         if kf:
-            taken = set(ids[ids >= 0].tolist())
-            kf_free = np.asarray([lid not in taken for lid in kf["ids"]])
+            kf_ids = np.asarray(kf["ids"])
+            taken = ids[ids >= 0]
+            kf_free = ~np.isin(kf_ids, taken)
             target_free = (ids < 0) & valid
             idx, ok = self._match(
                 kf["desc"], kf["pts"], kf["valid"] & kf_free,
@@ -350,27 +412,29 @@ class FeatureTracker:
                 radius=self.cfg.search_radius,
             )
             idx, ok = np.asarray(idx), np.asarray(ok)
-            for a_i in np.flatnonzero(ok):
-                if ids[idx[a_i]] < 0:
-                    ids[idx[a_i]] = kf["ids"][a_i]
+            _assign_matches_vec(idx, ok, kf_ids, ids)
 
         tracked, moves = 0, []
         if kf:
-            kf_pts_of = {lid: p for lid, p in zip(kf["ids"], kf["pts"])
-                         if lid >= 0}
-            for j in np.flatnonzero(valid):
-                if ids[j] in kf_pts_of:
-                    tracked += 1
-                    moves.append(float(np.linalg.norm(
-                        kpts[j] - kf_pts_of[ids[j]]
-                    )))
-        prev_pt_of = {}
+            kf_ids = np.asarray(kf["ids"])
+            keep = kf_ids >= 0
+            sel_v = np.flatnonzero(valid)
+            found, pts_kf = _lookup_pts_vec(
+                ids[sel_v], kf_ids[keep], np.asarray(kf["pts"])[keep]
+            )
+            tracked = int(found.sum())
+            moves = np.linalg.norm(
+                kpts[sel_v[found]] - pts_kf[found], axis=1
+            ).tolist()
+        prev_ids = np.zeros(0, np.int64)
+        prev_pts = np.zeros((0, 2))
         if prev:
-            prev_pt_of = {lid: p for lid, p in zip(prev["ids"], prev["pts"])
-                          if lid >= 0}
+            pkeep = np.asarray(prev["ids"]) >= 0
+            prev_ids = np.asarray(prev["ids"])[pkeep]
+            prev_pts = np.asarray(prev["pts"])[pkeep]
         return dict(kpts=kpts, desc=desc, valid=valid, ids=ids,
                     pyr=pyr_now, tracked=tracked, moves=moves,
-                    prev_pt_of=prev_pt_of)
+                    prev_ids=prev_ids, prev_pts=prev_pts)
 
     def _predict_cross_view(self, a: int, b: int,
                             kpts_a: np.ndarray) -> np.ndarray:
@@ -423,24 +487,17 @@ class FeatureTracker:
                     jnp.asarray(live),
                 )
                 new_pts, ok = np.asarray(new_pts), np.asarray(ok)
-                already: set = set()
-                for i in np.flatnonzero(ok):
-                    lid = prev_ids[i]
-                    if lid < 0 or lid in already:
-                        continue
-                    d = np.linalg.norm(kptsL - new_pts[i], axis=1)
-                    j = int(np.argmin(d))
-                    if d[j] < 2.0 and matched_ids[j] < 0 and validL[j]:
-                        matched_ids[j] = lid
-                        already.add(lid)
+                _assoc_lk_vec(new_pts, ok, prev_ids, kptsL, validL,
+                              matched_ids)
 
         # ---- descriptor match vs last keyframe for remaining gaps ----
         # (routes through self._match: the learned-matcher hook,
         # reference enable_superglue_local)
         if self.last_kf:
             kf = self.last_kf
-            taken = set(matched_ids[matched_ids >= 0].tolist())
-            kf_free = np.asarray([lid not in taken for lid in kf["ids"]])
+            kf_ids_arr = np.asarray(kf["ids"])
+            taken = matched_ids[matched_ids >= 0]
+            kf_free = ~np.isin(kf_ids_arr, taken)
             target_free = np.asarray((matched_ids < 0) & validL)
             idx, ok = self._match(
                 kf["desc"], kf["pts"], kf["valid"] & kf_free,
@@ -448,29 +505,31 @@ class FeatureTracker:
                 radius=self.cfg.search_radius,
             )
             idx, ok = np.asarray(idx), np.asarray(ok)
-            for a_i in np.flatnonzero(ok):
-                if matched_ids[idx[a_i]] < 0:
-                    matched_ids[idx[a_i]] = kf["ids"][a_i]
+            _assign_matches_vec(idx, ok, kf_ids_arr, matched_ids)
 
         # ---- new landmark ids ----
-        for j in np.flatnonzero(validL):
-            if matched_ids[j] < 0:
-                matched_ids[j] = next(self._lm_ids)
-                self.landmark_count += 1
+        fresh = np.flatnonzero(validL & (matched_ids < 0))
+        if len(fresh):
+            base = next(self._lm_ids)
+            for _ in range(len(fresh) - 1):  # keep the counter in sync
+                next(self._lm_ids)
+            matched_ids[fresh] = base + np.arange(len(fresh))
+            self.landmark_count += len(fresh)
 
         # ---- keyframe decision (reference isKeyframe) ----
         tracked = 0
         parallax = 0.0
         if self.last_kf:
-            kf_pts_of = {lid: p for lid, p in
-                         zip(self.last_kf["ids"], self.last_kf["pts"])}
-            moves = []
-            for j in np.flatnonzero(validL):
-                lid = matched_ids[j]
-                if lid in kf_pts_of:
-                    tracked += 1
-                    moves.append(np.linalg.norm(kptsL[j] - kf_pts_of[lid]))
-            parallax = float(np.mean(moves)) if moves else 1e9
+            sel_v = np.flatnonzero(validL)
+            found, pts_kf = _lookup_pts_vec(
+                matched_ids[sel_v], self.last_kf["ids"],
+                np.asarray(self.last_kf["pts"]),
+            )
+            tracked = int(found.sum())
+            moves = np.linalg.norm(
+                kptsL[sel_v[found]] - pts_kf[found], axis=1
+            )
+            parallax = float(np.mean(moves)) if len(moves) else 1e9
         is_keyframe = (
             not self.last_kf
             or parallax > self.cfg.min_keyframe_parallax
@@ -489,10 +548,12 @@ class FeatureTracker:
         kptsR = np.asarray(outR.kpts)
 
         # ---- ray velocities from previous positions ----
-        prev_pt_of = {}
+        prev_ids_v = np.zeros(0, np.int64)
+        prev_pts_v = np.zeros((0, 2))
         if self.prev:
-            prev_pt_of = {lid: p for lid, p in
-                          zip(self.prev["ids"], self.prev["pts"])}
+            pkeep = np.asarray(self.prev["ids"]) >= 0
+            prev_ids_v = np.asarray(self.prev["ids"])[pkeep]
+            prev_pts_v = np.asarray(self.prev["pts"])[pkeep]
 
         self.prev = dict(
             pyr=pyr_now, pts=kptsL, ids=matched_ids, valid=validL,
@@ -512,13 +573,12 @@ class FeatureTracker:
         selL = np.flatnonzero(validL)
         raysL = np.asarray(self._lift(0, kptsL[selL]))
         velL = np.zeros_like(raysL)
-        for k, j in enumerate(selL):
-            lid = matched_ids[j]
-            if lid in prev_pt_of:
-                prev_ray = np.asarray(
-                    self._lift(0, prev_pt_of[lid][None])
-                )[0]
-                velL[k] = (raysL[k] - prev_ray) / self.dt
+        found, prev_pt = _lookup_pts_vec(
+            matched_ids[selL], prev_ids_v, prev_pts_v
+        )
+        if found.any():  # ONE batched lift for all carried features
+            prev_rays = np.asarray(self._lift(0, prev_pt[found]))
+            velL[found] = (raysL[found] - prev_rays) / self.dt
         obs.append(
             CameraObservations(
                 cam_id=0,

@@ -28,6 +28,24 @@ def quat_conj(q):
     return np.array([-q[0], -q[1], -q[2], q[3]])
 
 
+def quat_to_rotmat_batch(q):
+    """[N, 4] xyzw quaternions -> [N, 3, 3] rotation matrices
+    (vectorized quat_to_rotmat for host hot paths)."""
+    q = np.asarray(q)
+    x, y, z, w = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    R = np.empty(q.shape[:1] + (3, 3), q.dtype)
+    R[:, 0, 0] = 1 - 2 * (y * y + z * z)
+    R[:, 0, 1] = 2 * (x * y - w * z)
+    R[:, 0, 2] = 2 * (x * z + w * y)
+    R[:, 1, 0] = 2 * (x * y + w * z)
+    R[:, 1, 1] = 1 - 2 * (x * x + z * z)
+    R[:, 1, 2] = 2 * (y * z - w * x)
+    R[:, 2, 0] = 2 * (x * z - w * y)
+    R[:, 2, 1] = 2 * (y * z + w * x)
+    R[:, 2, 2] = 1 - 2 * (x * x + y * y)
+    return R
+
+
 def quat_to_rotmat(q):
     x, y, z, w = q
     return np.array(

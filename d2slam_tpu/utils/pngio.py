@@ -71,7 +71,16 @@ def png_decode_gray(buf: bytes) -> np.ndarray:
         raise ValueError(
             f"unsupported PNG (color={color} depth={bitdepth} "
             f"interlace={interlace}); wire images are 8-bit gray")
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
+    # untrusted wire data (UDP image channel): cap the declared size and
+    # bound the inflate output by it, so a crafted IHDR + high-ratio
+    # deflate stream can't force a multi-GB allocation
+    if not (0 < w <= 8192 and 0 < h <= 8192):
+        raise ValueError(f"implausible PNG dims {w}x{h}")
+    want = h * (w + 1)
+    dec = zlib.decompressobj()
+    raw = np.frombuffer(dec.decompress(bytes(idat), want), np.uint8)
+    if raw.size != want:
+        raise ValueError("PNG IDAT size mismatch")
     raw = raw.reshape(h, w + 1)
     filt, rows = raw[:, 0], raw[:, 1:].astype(np.int32)
     out = np.empty((h, w), np.int32)

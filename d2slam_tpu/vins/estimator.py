@@ -66,6 +66,53 @@ class WindowFrame:
         self.drone_id = drone_id  # -1 = the estimator's own drone
 
 
+class CamPoseTable:
+    """Precomputed world_T_cam table for every (window slot, camera).
+
+    Drop-in for the old per-call closure — callable as
+    ``f(frame_id, cam_id) -> pose[7] | None`` — plus a vectorized
+    ``lookup(frame_ids, cam_ids) -> (T [N, 7], ok [N])`` used by the
+    batched sync-back / outlier-rejection host paths (reference
+    syncFromState + outlierRejection walk landmarks one at a time,
+    d2vinsstate.cpp:557-592; here the per-landmark math is one numpy
+    batch)."""
+
+    def __init__(self, slot_of: Dict[int, int], poses: np.ndarray,
+                 ext: np.ndarray):
+        self.slot_of = slot_of
+        W, C = len(poses), len(ext)
+        # compose all W*C pairs vectorized: t = p_t + R(p_q) e_t
+        pq = np.repeat(poses[:, 3:], C, axis=0)              # [W*C, 4]
+        R = np_lie.quat_to_rotmat_batch(pq)                  # [W*C, 3, 3]
+        et = np.tile(ext[:, :3], (W, 1))
+        t = np.repeat(poses[:, :3], C, axis=0) + \
+            np.einsum("nij,nj->ni", R, et)
+        x1, y1, z1, w1 = pq.T
+        x2, y2, z2, w2 = np.tile(ext[:, 3:], (W, 1)).T
+        q = np.stack([
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+        ], axis=1)
+        self.table = np.concatenate([t, q], axis=1).reshape(W, C, 7)
+
+    def __call__(self, frame_id, cam_id):
+        w = self.slot_of.get(frame_id)
+        if w is None:
+            return None
+        return self.table[w, cam_id]
+
+    def lookup(self, frame_ids, cam_ids):
+        idx = np.fromiter(
+            (self.slot_of.get(int(f), -1) for f in frame_ids),
+            np.int64, count=len(frame_ids),
+        )
+        ok = idx >= 0
+        T = self.table[np.maximum(idx, 0), np.asarray(cam_ids)]
+        return T, ok
+
+
 class D2Estimator:
     def __init__(self, config: D2Config, extrinsics: np.ndarray):
         self.cfg = config
@@ -404,17 +451,10 @@ class D2Estimator:
         return {f.frame_id: w for w, f in enumerate(self.frames)}
 
     def _cam_pose_of(self):
-        slots = self._slot_of_frame()
-        poses = np.asarray(self.state.poses)
-        ext = np.asarray(self.state.ext)
-
-        def f(frame_id, cam_id):
-            w = slots.get(frame_id)
-            if w is None:
-                return None
-            return np_lie.pose_compose(poses[w], ext[cam_id])
-
-        return f
+        return CamPoseTable(
+            self._slot_of_frame(),
+            np.asarray(self.state.poses), np.asarray(self.state.ext),
+        )
 
     def _imu_chain(self):
         """Preintegration intervals as (slot_i, slot_j, imu_buffer)
@@ -641,25 +681,43 @@ class D2Estimator:
         inv_dep = np.asarray(self.state.inv_dep)
         lm_pos = np.asarray(self.state.lm_pos)
         cam_pose = self._cam_pose_of()
+        # batched: gather anchors, ONE vectorized pose/rotation pass,
+        # then thin attribute write-back
+        lms, slots, fids, cids, rays = [], [], [], [], []
         for lid, slot in self.lm_slot_of.items():
             lm = self.lmanager.db.get(lid)
             if lm is None:
                 continue
-            a = lm.anchor
-            T = cam_pose(a.frame_id, a.cam_id)
+            lms.append(lm)
+            slots.append(slot)
+            fids.append(lm.anchor.frame_id)
+            cids.append(lm.anchor.cam_id)
+            rays.append(lm.anchor.ray)
+        if lms:
+            slots = np.asarray(slots)
+            T, ok = cam_pose.lookup(fids, np.asarray(cids))
             if pos3d:
-                lm.position = lm_pos[slot].astype(np.float64)
-                lm.flag = ESTIMATED
-                if T is not None:
-                    d = np.linalg.norm(lm.position - T[:3])
-                    lm.inv_dep = 1.0 / max(d, 1e-6)
-                continue
-            lm.inv_dep = float(inv_dep[slot])
-            if T is not None and lm.inv_dep > 1e-6:
-                from d2slam_tpu.vins.landmark_manager import _rotmat
-
-                lm.position = T[:3] + _rotmat(T[3:]) @ (a.ray / lm.inv_dep)
-                lm.flag = ESTIMATED
+                pos = lm_pos[slots].astype(np.float64)
+                d = np.linalg.norm(pos - T[:, :3], axis=1)
+                inv_d = 1.0 / np.maximum(d, 1e-6)
+                for k, lm in enumerate(lms):
+                    lm.position = pos[k]
+                    lm.flag = ESTIMATED
+                    if ok[k]:
+                        lm.inv_dep = float(inv_d[k])
+            else:
+                invd = inv_dep[slots]
+                R = np_lie.quat_to_rotmat_batch(T[:, 3:])
+                pc = np.asarray(rays) / np.maximum(
+                    invd[:, None], 1e-12
+                )
+                pos = T[:, :3] + np.einsum("nij,nj->ni", R, pc)
+                good = ok & (invd > 1e-6)
+                for k, lm in enumerate(lms):
+                    lm.inv_dep = float(invd[k])
+                    if good[k]:
+                        lm.position = pos[k]
+                        lm.flag = ESTIMATED
         self.lmanager.outlier_rejection(
             cam_pose, e.focal_length, e.outlier_reproject_px
         )
