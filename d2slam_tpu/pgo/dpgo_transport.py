@@ -257,6 +257,17 @@ class DPGOTransportConfig:
     # per-frame attitude priors in the rot-init (reference
     # rotation_initialization_base.hpp:131-144; 0 disables)
     gravity_weight: float = 0.0
+    # long-mission capacity: the graph GROWS (doubling, one recompile
+    # per doubling) instead of silently refusing frames at max_poses —
+    # the reference's Ceres graph is unbounded (d2pgo.cpp:15-44
+    # addFrame). hard_max_* is the absolute memory ceiling.
+    hard_max_poses: int = 32768
+    hard_max_edges: int = 131072
+    # past this many pose slots the anchored local solve routes to the
+    # matrix-free PCG path (pgo/pcg.py::solve_pgo_pcg_anchored) — the
+    # dense-Jacobian path is O(N*E) memory
+    pcg_threshold: int = 2048
+    cg_iters: int = 60
 
 
 class TransportDPGO:
@@ -310,10 +321,35 @@ class TransportDPGO:
 
     # ---------------- graph building ----------------
 
+    def _grow_poses(self) -> bool:
+        """Double the pose capacity (up to hard_max_poses), reallocating
+        the fixed-shape arrays and dropping the jitted solver so the
+        next solve compiles at the new layout."""
+        cfg = self.cfg
+        new_cap = min(cfg.max_poses * 2, cfg.hard_max_poses)
+        if new_cap <= cfg.max_poses:
+            return False
+        poses = np.zeros((new_cap, 7))
+        poses[:, 6] = 1.0
+        poses[: cfg.max_poses] = self.poses
+        grav = np.tile([0.0, 0.0, 1.0], (new_cap, 1))
+        grav[: cfg.max_poses] = self.grav_body
+        self.poses, self.grav_body = poses, grav
+        cfg.max_poses = new_cap
+        cfg.max_anchors = max(cfg.max_anchors, new_cap)
+        self._solver = None
+        return True
+
     def add_frame(self, key: int, owner: int, pose: np.ndarray) -> bool:
         if key in self.slot_of:
             return True
-        if len(self.keys) >= self.cfg.max_poses:
+        if len(self.keys) >= self.cfg.max_poses and not self._grow_poses():
+            import warnings
+
+            warnings.warn(
+                f"TransportDPGO at hard_max_poses="
+                f"{self.cfg.hard_max_poses}; dropping frame {key}"
+            )
             return False
         slot = len(self.keys)
         self.keys.append(int(key))
@@ -335,7 +371,11 @@ class TransportDPGO:
                  sqrt_info: np.ndarray) -> bool:
         """Relative-pose edge (ego or loop) OWNED by this robot."""
         if len(self.edges) >= self.cfg.max_edges:
-            return False
+            new_cap = min(self.cfg.max_edges * 2, self.cfg.hard_max_edges)
+            if new_cap <= self.cfg.max_edges:
+                return False
+            self.cfg.max_edges = new_cap
+            self._solver = None
         if int(key_a) not in self.slot_of or int(key_b) not in self.slot_of:
             return False
         self.edges.append((int(key_a), int(key_b),
@@ -570,11 +610,25 @@ class TransportDPGO:
         cfg = self.cfg
         layout = PGOLayout(cfg.max_poses, cfg.max_edges, cfg.pose_dof)
         if self._solver is None:
-            self._solver = jax.jit(functools.partial(
-                solve_pgo_anchored, layout,
-                rho_T=cfg.rho_T, rho_theta=cfg.rho_theta,
-                max_iters=cfg.iters_per_step, huber_delta=cfg.huber_delta,
-            ))
+            if cfg.max_poses > cfg.pcg_threshold:
+                # long-mission scale: matrix-free anchored PCG (dense
+                # anchored LM is O(N*E) memory)
+                from d2slam_tpu.pgo.pcg import solve_pgo_pcg_anchored
+
+                self._solver = functools.partial(
+                    solve_pgo_pcg_anchored, layout,
+                    rho_T=cfg.rho_T, rho_theta=cfg.rho_theta,
+                    max_iters=cfg.iters_per_step,
+                    cg_iters=cfg.cg_iters,
+                    huber_delta=cfg.huber_delta,
+                )
+            else:
+                self._solver = jax.jit(functools.partial(
+                    solve_pgo_anchored, layout,
+                    rho_T=cfg.rho_T, rho_theta=cfg.rho_theta,
+                    max_iters=cfg.iters_per_step,
+                    huber_delta=cfg.huber_delta,
+                ))
         n = len(self.keys)
         valid = np.zeros(cfg.max_poses, bool)
         valid[:n] = True

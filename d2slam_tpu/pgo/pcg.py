@@ -30,6 +30,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from d2slam_tpu.factors.residuals import relpose4d_residual, relpose_residual
 from d2slam_tpu.geometry.lie import pose4d_boxplus, pose_boxplus
@@ -239,3 +240,156 @@ def solve_pgo_pcg(
     return final, PGOReport(
         initial_cost=cost0, final_cost=cost, accepted=jnp.sum(accepts)
     )
+
+
+# ---------------------------------------------------------------------------
+# anchored variant (ARock local solves at scale)
+# ---------------------------------------------------------------------------
+
+
+def _anchor_resid_fn(dof: int, rho_T: float, rho_theta: float):
+    from d2slam_tpu.factors.residuals import consensus_pose_residual
+    from d2slam_tpu.geometry.lie import yaw_from_quat
+
+    sT = float(np.sqrt(rho_T))
+    sth = float(np.sqrt(rho_theta))
+
+    if dof == 6:
+        def f(pose, ref):
+            z = jnp.zeros((3,), pose.dtype)
+            return consensus_pose_residual(pose, ref, z, z, rho_T, rho_theta)
+    else:
+        def f(pose, ref):
+            dyaw = yaw_from_quat(pose[3:]) - yaw_from_quat(ref[3:])
+            dyaw = jnp.arctan2(jnp.sin(dyaw), jnp.cos(dyaw))
+            return jnp.concatenate(
+                [sT * (pose[:3] - ref[:3]), sth * dyaw[None]]
+            )
+    return f
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("layout", "rho_T", "rho_theta", "max_iters",
+                     "cg_iters", "huber_delta", "lambda_init", "cg_rtol"),
+)
+def solve_pgo_pcg_anchored(
+    layout: PGOLayout,
+    state: PGOState,
+    edges: PGOEdges,
+    fixed_mask,
+    anchor_idx,      # [K] int32 pose slots
+    anchor_pose,     # [K, 7] dual poses to anchor at
+    anchor_active,   # [K] bool
+    *,
+    rho_T: float = 0.1,
+    rho_theta: float = 2.0,
+    max_iters: int = 6,
+    cg_iters: int = 60,
+    cg_rtol: float = 1e-5,
+    huber_delta: float = 1.0,
+    lambda_init: float = 1e-6,
+):
+    """``solve_pgo_anchored`` semantics (consensus anchor rows pulling
+    poses toward ARock duals, reference setDualStateFactors
+    ARock.cpp:256-314) at ``solve_pgo_pcg`` scale: anchors enter the
+    matrix-free normal equations as unary blocks — O(E + N + K) memory,
+    no dense Jacobian. This is the long-mission local solve of
+    TransportDPGO once the graph outgrows the dense path."""
+    dof = layout.pose_dof
+    dtype = state.poses.dtype
+    N = layout.N
+    boxplus = pose_boxplus if dof == 6 else pose4d_boxplus
+    aresid = _anchor_resid_fn(dof, rho_T, rho_theta)
+
+    free_b = state.valid & ~fixed_mask
+    free = free_b.astype(dtype)
+    eps = jnp.asarray(1e-9, dtype)
+
+    def anchor_linearize(s):
+        def one(idx, ref, act):
+            pose = s.poses[idx]
+
+            def f(d):
+                return aresid(boxplus(pose, d), ref)
+
+            z = jnp.zeros((dof,), dtype)
+            r = f(z)
+            J = jax.jacfwd(f)(z)
+            w = act.astype(dtype) * s.valid[idx].astype(dtype)
+            return r * w, J * w
+
+        return jax.vmap(one)(anchor_idx, anchor_pose, anchor_active)
+
+    def anchor_cost(s):
+        r, _ = anchor_linearize(s)
+        return 0.5 * jnp.sum(r * r)
+
+    def total_cost(s):
+        return _edge_cost(s, edges, dof, huber_delta) + anchor_cost(s)
+
+    def apply_delta(s: PGOState, dx):
+        return s._replace(poses=jax.vmap(boxplus)(s.poses, dx))
+
+    def iteration(carry, _):
+        s, cost, lam = carry
+        r, Ja, Jb, _ = _edge_linearize(s, edges, dof, huber_delta, free)
+        ra, Jan = anchor_linearize(s)                       # [K,dof],[K,dof,dof]
+        g = _grad(r, Ja, Jb, edges.i, edges.j, N)
+        g = g + jax.ops.segment_sum(
+            jnp.einsum("kli,kl->ki", Jan, ra, precision="highest"),
+            anchor_idx, num_segments=N,
+        )
+        Hd = _block_diag_hessian(Ja, Jb, edges.i, edges.j, N)
+        Hd = Hd + jax.ops.segment_sum(
+            jnp.einsum("kli,klj->kij", Jan, Jan, precision="highest"),
+            anchor_idx, num_segments=N,
+        )
+        diagH = jnp.diagonal(Hd, axis1=1, axis2=2)
+        damp = lam * diagH + eps
+
+        def hvp(v):
+            u = (jnp.einsum("ekl,el->ek", Ja, v[edges.i], precision="highest")
+                 + jnp.einsum("ekl,el->ek", Jb, v[edges.j], precision="highest"))
+            out = (jax.ops.segment_sum(
+                       jnp.einsum("ekl,ek->el", Ja, u, precision="highest"),
+                       edges.i, num_segments=N)
+                   + jax.ops.segment_sum(
+                       jnp.einsum("ekl,ek->el", Jb, u, precision="highest"),
+                       edges.j, num_segments=N))
+            ua = jnp.einsum("kli,ki->kl", Jan, v[anchor_idx],
+                            precision="highest")
+            out = out + jax.ops.segment_sum(
+                jnp.einsum("kli,kl->ki", Jan, ua, precision="highest"),
+                anchor_idx, num_segments=N,
+            )
+            return out + damp * v
+
+        M = Hd + jax.vmap(jnp.diag)(damp)
+        eye = jnp.eye(dof, dtype=dtype)
+        M = jnp.where(free_b[:, None, None], M, eye)
+        Minv = jnp.linalg.inv(M)
+
+        def Minv_apply(v):
+            return jnp.einsum("nkl,nl->nk", Minv, v, precision="highest")
+
+        dx = _pcg(hvp, Minv_apply, -g, cg_iters, cg_rtol)
+        dx = dx * free[:, None]
+        cand = apply_delta(s, dx)
+        cand_cost = total_cost(cand)
+        accept = cand_cost < cost
+        s2 = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(accept, a, b), cand, s
+        )
+        return (
+            s2,
+            jnp.where(accept, cand_cost, cost),
+            jnp.where(accept, lam * 0.25, lam * 10.0),
+        ), accept
+
+    cost0 = total_cost(state)
+    (final, cost, _), accepts = jax.lax.scan(
+        iteration, (state, cost0, jnp.asarray(lambda_init, dtype)),
+        None, length=max_iters,
+    )
+    return final, (cost0, cost, jnp.sum(accepts))

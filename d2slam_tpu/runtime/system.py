@@ -57,8 +57,15 @@ class SystemConfig:
     enable_loop_detection: bool = True   # reference enable_loop
     enable_pgo: bool = True
     pgo_every_n_kf: int = 5              # d2pgo solver_timer_freq analog
-    pgo_max_poses: int = 256
-    pgo_max_edges: int = 1024
+    pgo_max_poses: int = 256             # initial capacity (GROWS: the
+    pgo_max_edges: int = 1024            # table doubles when full, up to
+    pgo_hard_max_poses: int = 32768      # this absolute ceiling)
+    # skip PGO keyframes closer than this to the drone's previous one
+    # (graph-density gate for hovering/slow missions; 0 = keep all)
+    pgo_min_kf_dist: float = 0.0
+    # ignore loop edges with implausibly large relative translation
+    # (reference loop_distance_threshold gate, d2pgo.cpp:46-52)
+    loop_distance_threshold: float = 100.0
     pgo_pose_dof: int = 6                # PGO_POSE_DOF {4, 6}
     pgo_iters: int = 10
     # dense | pcg | auto: auto picks the matrix-free PCG solver once the
@@ -196,7 +203,7 @@ class D2SLAMSystem:
                                      matcher_fn=loop_matcher_fn)
         self.swarm = SwarmManager(self.drone_id, self.detector)
 
-        if sys_cfg.estimation_mode == "distributed":
+        if sys_cfg.estimation_mode in ("distributed", "server"):
             from d2slam_tpu.vins.solve_all import SolveAllEstimator
             from d2slam_tpu.vins.types import global_frame_id
 
@@ -209,12 +216,22 @@ class D2SLAMSystem:
                 # pool (reference trackRemote landmark-ID unification)
                 return oid if od == self.drone_id else global_frame_id(od, oid)
 
+            # "server" = the reference's ESTIMATION_MODE SERVER
+            # (d2basetypes.h:38-44): a ground station estimating every
+            # drone from codec-v2 packets alone, no local sensors —
+            # the same pooled estimator fed only remote frames
             self.estimator = SolveAllEstimator(
                 cfg, self.ext, max_drones=sys_cfg.max_drones,
+                server_mode=(sys_cfg.estimation_mode == "server"),
                 lm_id_map=lm_key,
             )
-        else:
+        elif sys_cfg.estimation_mode == "single":
             self.estimator = D2Estimator(cfg, self.ext)
+        else:
+            raise ValueError(
+                f"unknown estimation_mode {sys_cfg.estimation_mode!r} "
+                "(expected single | distributed | server)"
+            )
 
         self.loopnet = None
         self.dpgo = None
@@ -311,6 +328,8 @@ class D2SLAMSystem:
         self._dpgo_ego_synced = 0             # ego edges pushed to dpgo
         self._dpgo_loops_added: set = set()   # loop pairs pushed to dpgo
         self._pgo_poses: Optional[np.ndarray] = None  # optimized [N, 7]
+        self._pgo_capacity = sys_cfg.pgo_max_poses
+        self._pgo_edge_capacity = sys_cfg.pgo_max_edges
         self._pgo_solver = None
         self._kf_since_pgo = 0
         self.pgo_solve_count = 0
@@ -401,6 +420,23 @@ class D2SLAMSystem:
         if self.loopnet is None:
             return 0
         return self.loopnet.poll(now, timeout_ms)
+
+    def solve_server(self) -> Dict[int, Odometry]:
+        """SERVER-mode solve cadence: jointly optimize every ingested
+        drone's window from packets alone and return each drone's
+        latest fused odometry (reference SERVER solve path,
+        d2estimator.cpp:700-736 setupImuFactors over remote windows;
+        the reference triggers it from the solver timer). Call this
+        periodically after ``poll_network``."""
+        if self.sys.estimation_mode != "server":
+            raise RuntimeError("solve_server needs estimation_mode=server")
+        self.estimator.solve_remote_only()
+        out: Dict[int, Odometry] = {}
+        for d in self.estimator.drone_ids():
+            od = self.estimator.drone_odometry(d)
+            if od is not None:
+                out[d] = od
+        return out
 
     # ------------------------------------------------------------------
     # keyframe fan-out: loop detection, PGO graph, broadcast
@@ -582,7 +618,8 @@ class D2SLAMSystem:
                 pkt.ref_frame_id, np_lie.pose_inverse(a.transform)
             )
             a = self.swarm.alignments.get(pkt.drone_id)
-        if (self.sys.estimation_mode == "distributed" and len(pkt.lm_ids)
+        if (self.sys.estimation_mode in ("distributed", "server")
+                and len(pkt.lm_ids)
                 and pkt.ref_frame_id == self.ref_frame_id):
             # same reference frame -> wire poses are already in our
             # world (reference addFrameRemote uses pose_drone directly
@@ -663,18 +700,58 @@ class D2SLAMSystem:
     # pose-graph backend (the d2pgo_node role)
     # ------------------------------------------------------------------
 
+    def _grow_pgo_table(self) -> bool:
+        """Double pose/edge capacity (up to ``pgo_hard_max_poses``) so
+        long missions keep extending the graph — the reference's Ceres
+        graph is unbounded (d2pgo.cpp:15-44 addFrame). One solver
+        recompile per doubling; past ``pgo_pcg_threshold`` the "auto"
+        solver routes to the matrix-free PCG path."""
+        new_cap = min(self._pgo_capacity * 2, self.sys.pgo_hard_max_poses)
+        if new_cap <= self._pgo_capacity:
+            return False
+        poses = np.zeros((new_cap, 7))
+        poses[:, 6] = 1.0
+        if self._pgo_poses is not None:
+            poses[: self._pgo_capacity] = self._pgo_poses
+        self._pgo_poses = poses
+        self._pgo_capacity = new_cap
+        self._pgo_edge_capacity = min(
+            self._pgo_edge_capacity * 2, self.sys.pgo_hard_max_poses * 8
+        )
+        self._pgo_solver = None  # recompile at the new layout
+        return True
+
     def _add_pgo_node(self, drone_id: int, frame_id: int, stamp: float,
                       ego_pose: np.ndarray,
                       init_pose: Optional[np.ndarray] = None) -> None:
         key = (drone_id, frame_id)
-        if key in self._pgo_slot or len(self._pgo_meta) >= self.sys.pgo_max_poses:
+        if key in self._pgo_slot:
+            return
+        # optional density gate (reference keyframes are already sparse;
+        # this bounds graph growth on slow/hovering missions)
+        if self.sys.pgo_min_kf_dist > 0:
+            prev = self._last_kf_of.get(drone_id)
+            if prev is not None:
+                pa = self._pgo_meta[prev][3]
+                if (np.linalg.norm(np.asarray(ego_pose[:3]) - pa[:3])
+                        < self.sys.pgo_min_kf_dist):
+                    return  # next inserted node chains prev->it directly
+        if len(self._pgo_meta) >= self._pgo_capacity \
+                and not self._grow_pgo_table():
+            import warnings
+
+            warnings.warn(
+                f"PGO graph at pgo_hard_max_poses="
+                f"{self.sys.pgo_hard_max_poses}; dropping keyframe "
+                f"({drone_id}, {frame_id})"
+            )
             return
         slot = len(self._pgo_meta)
         self._pgo_slot[key] = slot
         self._pgo_meta.append((drone_id, frame_id, stamp,
                                np.asarray(ego_pose, np.float64)))
         if self._pgo_poses is None:
-            self._pgo_poses = np.zeros((self.sys.pgo_max_poses, 7))
+            self._pgo_poses = np.zeros((self._pgo_capacity, 7))
             self._pgo_poses[:, 6] = 1.0
         self._pgo_poses[slot] = (init_pose if init_pose is not None
                                  else ego_pose)
@@ -692,6 +769,9 @@ class D2SLAMSystem:
                edge.drone_id_b, edge.frame_id_b)
         if key in self._loop_keys:
             return
+        if (np.linalg.norm(np.asarray(edge.rel_pose[:3]))
+                > self.sys.loop_distance_threshold):
+            return  # implausible loop (reference d2pgo.cpp:46-52)
         self._loop_keys.add(key)
         self.loop_edges.append(edge)
         self.last_loop = edge
@@ -806,7 +886,13 @@ class D2SLAMSystem:
             return None
         if self.dpgo is not None:
             return self._solve_pgo_distributed()
-        layout = PGOLayout(self.sys.pgo_max_poses, self.sys.pgo_max_edges,
+        # grow edge capacity ahead of assembly so no edge is dropped
+        needed = len(self._ego_edges) + len(self.loop_edges)
+        while needed > self._pgo_edge_capacity \
+                and self._pgo_edge_capacity < self.sys.pgo_hard_max_poses * 8:
+            self._pgo_edge_capacity *= 2
+            self._pgo_solver = None
+        layout = PGOLayout(self._pgo_capacity, self._pgo_edge_capacity,
                            self.sys.pgo_pose_dof)
 
         # ---- assemble edges (ego + PCM-filtered loops) ----
@@ -853,7 +939,8 @@ class D2SLAMSystem:
         if self._pgo_solver is None:
             use_pcg = self.sys.pgo_solver == "pcg" or (
                 self.sys.pgo_solver == "auto"
-                and layout.N > self.sys.pgo_pcg_threshold
+                and (layout.N > self.sys.pgo_pcg_threshold
+                     or layout.E > 4 * self.sys.pgo_pcg_threshold)
             )
             if use_pcg:
                 self._pgo_solver = jax.jit(

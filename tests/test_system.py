@@ -170,6 +170,79 @@ def test_two_robot_swarm_loop_and_alignment():
 
 
 @pytest.mark.slow
+def test_server_estimation_mode():
+    """SERVER mode (reference ESTIMATION_MODE SERVER, d2basetypes.h:38-44,
+    solve path d2estimator.cpp:700-736): an ingest-only ground-station
+    node estimates every drone from codec-v2 packets alone — no local
+    sensors — and its fused trajectories match the robots' own."""
+    bus = LocalBus()
+    sim_a = CircleSim(n_landmarks=N_LM, seed=3, phase=0.0)
+    sim_b = CircleSim(n_landmarks=N_LM, seed=3, phase=0.25)
+    sys_a = make_system(0, sim_a, transport=bus.endpoint(0),
+                        assume_common_world=True)
+    sys_b = make_system(1, sim_b, transport=bus.endpoint(1),
+                        assume_common_world=True)
+    server = make_system(9, sim_a, transport=bus.endpoint(9),
+                         estimation_mode="server", max_drones=2,
+                         assume_common_world=True, broadcast=False)
+
+    for s, sim in ((sys_a, sim_a), (sys_b, sim_b)):
+        for (t, a, g) in sim.imu_samples(-0.3, 0.0):
+            s.input_imu(t, a, g)
+    t_prev = 0.0
+    n_frames = 14
+    for k in range(n_frames):
+        t = k / sim_a.frame_hz
+        for s, sim in ((sys_a, sim_a), (sys_b, sim_b)):
+            if k > 0:
+                for (ts, a, g) in sim.imu_samples(t_prev + 1e-6, t + 1e-6):
+                    s.input_imu(ts, a, g)
+            ff = sim.frame(k)
+            pose_hint = s.odometry.pose if s.odometry is not None \
+                else np.array([0, 0, 0, 0, 0, 0, 1.0])
+            s.input_frame(
+                ff, gdesc=bag_gdesc(ff.observations[0].landmark_ids),
+                kf_entry=make_entry(ff, s.drone_id, pose_hint),
+            )
+        t_prev = t
+        server.poll_network(now=t)
+        if k >= 4 and k % 2 == 0:
+            fused = server.solve_server()
+            assert all(np.isfinite(od.pose).all() for od in fused.values())
+
+    fused = server.solve_server()
+    assert set(fused) == {0, 1}, f"server estimates {set(fused)}"
+    # the server's fused estimate of each drone should sit near that
+    # drone's own VIO output (both in the shared world frame)
+    for did, s in ((0, sys_a), (1, sys_b)):
+        own = np.asarray(s.odometry.pose[:3])
+        srv = np.asarray(fused[did].pose[:3])
+        err = np.linalg.norm(own - srv)
+        assert err < 0.5, f"drone {did}: server vs own VIO {err:.3f} m"
+    # and near ground truth — each drone's VIO lives in its own gauge
+    # (origin at start), so align on the first in-window frame first
+    from d2slam_tpu.utils import np_lie
+
+    for did, sim in ((0, sim_a), (1, sim_b)):
+        traj = server.estimator.drone_trajectory(did)
+        slots = server.estimator._drone_slots(did)
+        stamps = [server.estimator.frames[w].stamp for w in slots]
+        assert len(stamps) >= 5
+        T_align = np_lie.pose_compose(
+            sim.gt_pose(stamps[0])[0], np_lie.pose_inverse(traj[0])
+        )
+        errs = [
+            np.linalg.norm(
+                np_lie.pose_compose(T_align, traj[i])[:3]
+                - sim.gt_pose(st)[0][:3]
+            )
+            for i, st in enumerate(stamps)
+        ]
+        rmse = float(np.sqrt(np.mean(np.square(errs))))
+        assert rmse < 0.25, f"drone {did}: server ATE {rmse:.3f} m"
+
+
+@pytest.mark.slow
 def test_lazy_broadcast_pull_and_nearby_escalation():
     """Lazy (compact) broadcast protocol end to end (reference
     lazy_broadcast_keyframe + the matched-frame exchange and the
