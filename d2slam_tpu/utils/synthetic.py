@@ -162,9 +162,11 @@ def make_circle_scene(
             dts[k, i] = 0.0 if i == 0 else 1.0 / imu_hz
             mask[k, i] = i > 0
     pre = jax.vmap(preintegrate, in_axes=(0, 0, 0, 0, None, None, None))(
-        jnp.asarray(dts), jnp.asarray(accs), jnp.asarray(gyrs), jnp.asarray(mask),
+        jnp.asarray(dts, dtype), jnp.asarray(accs, dtype),
+        jnp.asarray(gyrs, dtype), jnp.asarray(mask),
         jnp.zeros(3, dtype), jnp.zeros(3, dtype), noise,
-    )
+    )  # explicit dtype: np f64 inputs must not promote the solver
+    #    pipeline to f64 when the host has x64 enabled
     sqrt_infos = jax.vmap(imu_sqrt_info)(pre.covariance)
     imu_valid = np.zeros(K, bool)
     imu_valid[: max(n_frames - 1, 0)] = True
