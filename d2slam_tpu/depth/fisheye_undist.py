@@ -62,6 +62,79 @@ def build_undistort_map(
     return uv, f
 
 
+def _rot_x(a):
+    c, s = jnp.cos(a), jnp.sin(a)
+    return jnp.array([[1.0, 0, 0], [0, c, -s], [0, s, c]])
+
+
+def _rot_y(a):
+    c, s = jnp.cos(a), jnp.sin(a)
+    return jnp.array([[c, 0, s], [0, 1.0, 0], [-s, 0, c]])
+
+
+def build_pinhole5_maps(
+    fisheye,
+    out_hw,
+    side_angle_deg: float = 90.0,
+    virtual_fov_deg: float = 90.0,
+):
+    """Center + 4 side virtual-pinhole remap targets (reference
+    FisheyeUndist Pinhole5 mode, fisheye_undistort.h:30-200: one
+    forward view plus up/down/left/right views rotated by
+    ``side_angle_deg``, jointly covering the fisheye FOV).
+
+    Returns (maps [5, H, W, 2], virtual_focal) with view order
+    [center, left, up, right, down] (the reference's photo order)."""
+    a = jnp.deg2rad(side_angle_deg)
+    Rs = [
+        jnp.eye(3),
+        _rot_y(-a),   # left:  forward ray -> [-sin a, 0, cos a]
+        _rot_x(a),    # up:    forward ray -> [0, -sin a, cos a]
+        _rot_y(a),    # right: forward ray -> [ sin a, 0, cos a]
+        _rot_x(-a),   # down:  forward ray -> [0,  sin a, cos a]
+    ]
+    maps = []
+    f = None
+    for R in Rs:
+        m, f = build_undistort_map(fisheye, R, out_hw, virtual_fov_deg)
+        maps.append(m)
+    return jnp.stack(maps), f
+
+
+def build_cylindrical_map(
+    fisheye,
+    out_hw,
+    fov_deg: float = 180.0,
+    v_range: float = 1.0,
+    R_fisheye_virtual: jax.Array | None = None,
+):
+    """Cylindrical-panorama remap target (reference FisheyeUndist
+    cylindrical mode). Output pixel (u, v) lifts through the repo's
+    cylindrical camera convention (geometry.cameras.cylindrical_lift:
+    u -> azimuth, v -> height on the unit cylinder), rotates into the
+    fisheye frame, and projects through the fisheye model.
+
+    Returns (map_xy [H, W, 2], CylindricalParams of the virtual
+    camera). ``fov_deg`` is the horizontal azimuth span; ``v_range``
+    the vertical half-extent in cylinder-height units."""
+    from d2slam_tpu.geometry.cameras import CylindricalParams, cylindrical_lift
+
+    H, W = out_hw
+    fx = W / jnp.deg2rad(fov_deg)          # pixels per radian of azimuth
+    fy = (H / 2.0) / v_range
+    params = CylindricalParams.make(fx, fy, W / 2.0, H / 2.0)
+    ys, xs = jnp.meshgrid(
+        jnp.arange(H, dtype=jnp.float32), jnp.arange(W, dtype=jnp.float32),
+        indexing="ij",
+    )
+    rays = cylindrical_lift(jnp.stack([xs, ys], axis=-1), params)
+    if R_fisheye_virtual is not None:
+        rays = rays @ R_fisheye_virtual.T
+    uv, valid = _project(fisheye, rays)
+    uv = jnp.where(valid[..., None], uv, -1.0)
+    return uv, params
+
+
 def remap_bilinear(img: jax.Array, map_xy: jax.Array,
                    photometric: jax.Array | None = None) -> jax.Array:
     """Sample ``img`` [H, W] at ``map_xy`` [Ho, Wo, 2]; out-of-range

@@ -92,9 +92,16 @@ def quadcam_depth(
     hitnet=None,                      # optional (apply, params) from
                                       # depth.hitnet.load_trained_hitnet
     photometric: Optional[List[jax.Array]] = None,
+    color_images: Optional[List[jax.Array]] = None,
 ):
     """Run all 4 virtual stereo pairs. Returns a list of
-    (points [H, W, 3] in the virtual-left camera frame, valid [H, W]).
+    (points [H, W, 3] in the virtual-left camera frame, valid [H, W]) —
+    or, with ``color_images``, triples (points, valid, texture): each
+    point carries its remapped left-view texture sample, the
+    reference's RGB point-cloud path (quadcam_depth_est_trt.hpp:22-114
+    publishThread textures clouds with the rectified left image).
+    ``color_images`` entries are per-camera [Hf, Wf] gray or
+    [Hf, Wf, 3] RGB (channels remap independently).
 
     With `hitnet`, disparity comes from the trained HitNet network (the
     reference's primary path, quadcam_depth_est_trt.cpp inferrenceThread);
@@ -122,5 +129,28 @@ def quadcam_depth(
             disp, valid, fx=p.focal, baseline=p.baseline,
             cx=W / 2.0, cy=H / 2.0, min_z=cfg.min_z, max_z=cfg.max_z,
         )
-        out.append((pts, ok))
+        if color_images is None:
+            out.append((pts, ok))
+            continue
+        ci = color_images[p.cam_left]
+        if ci.ndim == 3:  # RGB: remap each channel through the same map
+            tex = jnp.stack(
+                [remap_bilinear(ci[..., c], p.map_left) for c in range(3)],
+                axis=-1,
+            )
+        else:
+            tex = remap_bilinear(ci, p.map_left)
+        out.append((pts, ok, tex))
     return out
+
+
+def cloud_in_body(pair: VirtualStereoPair, pts: jax.Array) -> jax.Array:
+    """Transform a [H, W, 3] virtual-left-camera cloud into the body
+    frame through the pair's extrinsic (the reference publishes clouds
+    composed into a common frame, quadcam_depth_est_trt publishThread)."""
+    from d2slam_tpu.utils import np_lie
+    import numpy as np
+
+    T = np.asarray(pair.T_body_virtual, np.float64)
+    R = np_lie.quat_to_rotmat(T[3:])
+    return pts @ jnp.asarray(R.T, pts.dtype) + jnp.asarray(T[:3], pts.dtype)

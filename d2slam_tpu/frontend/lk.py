@@ -17,6 +17,7 @@ import jax.numpy as jnp
 def build_pyramid(img: jax.Array, levels: int = 3) -> List[jax.Array]:
     """[H, W] float image -> list of ``levels+1`` images, halving each
     level (2x2 average pooling)."""
+    img = jnp.asarray(img)  # accept host numpy (tracker keeps np images)
     pyr = [img]
     x = img
     for _ in range(levels):
@@ -91,6 +92,10 @@ def _lk_level(prev, nxt, pts_prev, guess, win: int, iters: int):
     return jax.vmap(track_one)(pts_prev, guess)
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("win", "iters", "fb_thresh"))
 def lk_track_pyramidal(
     pyr_prev: List[jax.Array],
     pyr_next: List[jax.Array],
@@ -103,7 +108,9 @@ def lk_track_pyramidal(
     """Track points prev->next with a coarse-to-fine pyramid and
     forward-backward consistency check (reference 0.5 px gate).
 
-    Returns (new_pts [N, 2], ok [N] bool).
+    Returns (new_pts [N, 2], ok [N] bool). Jitted as ONE program per
+    (pyramid shapes, point count) — eager per-level dispatch costs
+    hundreds of small launches on a remote backend.
     """
     def run(pyr_a, pyr_b, p0):
         L = len(pyr_a) - 1

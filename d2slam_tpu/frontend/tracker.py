@@ -166,11 +166,18 @@ class FeatureTracker:
         self.ext = None if extrinsics is None else np.asarray(extrinsics)
         self.matcher_fn = matcher_fn
         if extract_fn is None:
-            jitted = jax.jit(
+            from d2slam_tpu.utils.placement import PackedAccelFn, accel_device
+
+            if accel_device() is not None:
+                # pin the CNN weights to the accelerator once; the
+                # packed wrappers then cross the link exactly twice per
+                # frame (stacked views up, packed features down)
+                sp_params = jax.device_put(sp_params, accel_device())
+            packed_one = PackedAccelFn(
                 lambda img: superpoint_extract(sp_params, img, sp_cfg)
             )
-            self._extract = lambda img, cam_id: jitted(img)
-            self._extract_batch = jax.jit(jax.vmap(
+            self._extract = lambda img, cam_id: packed_one(img)
+            self._extract_batch = PackedAccelFn(jax.vmap(
                 lambda img: superpoint_extract(sp_params, img, sp_cfg)
             ))
         else:
@@ -263,9 +270,9 @@ class FeatureTracker:
         union-found into ONE landmark id.
         """
         V = len(imgs)
-        imgs_j = [jnp.asarray(im, jnp.float32) for im in imgs]
+        imgs_j = [np.asarray(im, np.float32) for im in imgs]
         if self._extract_batch is not None and len({im.shape for im in imgs}) == 1:
-            batched = self._extract_batch(jnp.stack(imgs_j))
+            batched = self._extract_batch(np.stack(imgs_j))
             outs = [
                 jax.tree_util.tree_map(lambda x, v=v: x[v], batched)
                 for v in range(V)
@@ -459,10 +466,17 @@ class FeatureTracker:
                        img_left: np.ndarray, img_right: np.ndarray
                        ) -> Optional[FrontendFrame]:
         """Returns a FrontendFrame when this frame is a keyframe."""
-        imgL = jnp.asarray(img_left, jnp.float32)
-        imgR = jnp.asarray(img_right, jnp.float32)
-        outL = self._extract(imgL, 0)
-        outR = self._extract(imgR, 1)
+        imgL = np.asarray(img_left, np.float32)
+        imgR = np.asarray(img_right, np.float32)
+        if self._extract_batch is not None and imgL.shape == imgR.shape:
+            # one accelerator program for both views: single packed
+            # upload/download instead of two round trips
+            outs = self._extract_batch(np.stack([imgL, imgR]))
+            outL = jax.tree_util.tree_map(lambda x: x[0], outs)
+            outR = jax.tree_util.tree_map(lambda x: x[1], outs)
+        else:
+            outL = self._extract(imgL, 0)
+            outR = self._extract(imgR, 1)
 
         kptsL = np.asarray(outL.kpts)
         descL = np.asarray(outL.desc)

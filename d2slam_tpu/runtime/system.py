@@ -110,6 +110,20 @@ class SystemConfig:
     # getNearbyDronesbyPGOData, d2estimator.cpp:931-976)
     nearby_distance: float = 5.0
     nearby_max_age: float = 10.0
+    # device placement: run glue ops (LK, matching, lifts, pose
+    # bookkeeping) on the LOCAL CPU backend and reserve the
+    # accelerator for the heavy kernels with packed transfers — each
+    # host<->device crossing on a remote/tunneled TPU costs tens of ms
+    # (see utils/placement.py). No-op on CPU-only hosts.
+    host_glue_on_cpu: bool = True
+    # learned matcher (reference enable_superglue_local/remote,
+    # "EXTREME SLOW but more robust"): route the tracker's local
+    # matching and/or the loop detector's matching through SuperGlue.
+    # Weights come from the ``superglue_params`` constructor arg
+    # (random-init if enabled without weights — smoke/perf only).
+    enable_superglue_local: bool = False
+    enable_superglue_remote: bool = False
+    superglue_img_hw: tuple = (480, 640)
 
 
 def image_embedding_gdesc(img: np.ndarray, dim: int = 1024) -> np.ndarray:
@@ -171,9 +185,15 @@ class D2SLAMSystem:
         frame_rate: float = 8.0,
         matcher_fn=None,
         loop_matcher_fn=None,
+        superglue_params=None,
+        superglue_cfg=None,
     ):
         self.cfg = cfg
         self.sys = sys_cfg
+        if sys_cfg.host_glue_on_cpu:
+            from d2slam_tpu.utils.placement import default_to_cpu
+
+            default_to_cpu()  # glue local; accelerator use is explicit
         self.ext = np.asarray(extrinsics, np.float64)
         self.drone_id = sys_cfg.drone_id
         # the world frame our poses live in; starts as our own drone id
@@ -188,6 +208,34 @@ class D2SLAMSystem:
             from d2slam_tpu.frontend.superpoint import SuperPointConfig
 
             sp_cfg = SuperPointConfig(max_keypoints=200, threshold=1e-4)
+
+        # config-driven SuperGlue matchers (reference
+        # enable_superglue_local/remote; explicit matcher_fn args win)
+        if sys_cfg.enable_superglue_local or sys_cfg.enable_superglue_remote:
+            from d2slam_tpu.frontend.superglue import (
+                SuperGlueConfig,
+                make_loop_matcher,
+                make_tracker_matcher,
+                superglue_init,
+            )
+
+            if superglue_cfg is None:
+                superglue_cfg = SuperGlueConfig()
+            if superglue_params is None:
+                import jax as _jax
+
+                superglue_params = superglue_init(
+                    _jax.random.PRNGKey(0), superglue_cfg
+                )
+            if sys_cfg.enable_superglue_local and matcher_fn is None:
+                matcher_fn = make_tracker_matcher(
+                    superglue_params, tuple(sys_cfg.superglue_img_hw),
+                    superglue_cfg,
+                )
+            if sys_cfg.enable_superglue_remote and loop_matcher_fn is None:
+                loop_matcher_fn = make_loop_matcher(
+                    superglue_params, superglue_cfg
+                )
         self.tracker = FeatureTracker(
             sp_params, sp_cfg, cameras,
             tracker_cfg or TrackerConfig(), frame_rate=frame_rate,

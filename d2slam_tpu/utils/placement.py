@@ -1,0 +1,200 @@
+"""Device placement policy: local-CPU glue, packed accelerator kernels.
+
+The reference pays a few microseconds per CUDA launch and PCIe copy
+(d2frontend CNN wrappers, OpenCV CUDA LK); a TPU behind a network
+tunnel pays 30-50 ms per host<->device crossing and ~0.5 s per remote
+compilation of an eager op. The viable architecture on such a link —
+and a good one even with a locally attached chip — is:
+
+  * GLUE (LK association, descriptor matching, camera lifts, pose
+    bookkeeping, preintegration): tiny programs on the LOCAL CPU
+    backend, microseconds per call, no crossing;
+  * HEAVY KERNELS (SuperPoint/HitNet inference, the sliding-window LM
+    solve, marginalization, large PGO): jitted on the accelerator with
+    transfers PACKED into as few arrays as possible — one upload per
+    dtype class, one download of all float outputs.
+
+``PackedAccelFn`` implements the packing generically for any jittable
+function of pytrees with static shapes: float leaves concatenate into
+one f32 buffer, integer/bool leaves into one i32 buffer; the wrapper
+jit unpacks on device, runs the function, and flattens every output
+leaf back into a single f32 array (ints round-trip as f32 — safe for
+the small counters in solver reports).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.cache
+def cpu_device():
+    try:
+        return jax.devices("cpu")[0]
+    except RuntimeError:
+        return None
+
+
+@functools.cache
+def accel_device():
+    """The first non-CPU device, or None (CPU-only hosts)."""
+    for d in jax.devices():
+        if d.platform != "cpu":
+            return d
+    return None
+
+
+@functools.cache
+def link_roundtrip_ms() -> float:
+    """Measured host->accelerator->host latency for a tiny transfer
+    (0.0 on CPU-only hosts). Distinguishes a locally attached chip
+    (~0.1 ms) from a network-tunneled one (tens of ms)."""
+    import time
+
+    dev = accel_device()
+    if dev is None:
+        return 0.0
+    x = np.ones((8,), np.float32)
+    y = jax.device_put(x, dev)
+    np.asarray(y)  # warm
+    t0 = time.perf_counter()
+    for _ in range(3):
+        np.asarray(jax.device_put(x, dev))
+    return (time.perf_counter() - t0) / 3 * 1e3
+
+
+def default_to_cpu() -> bool:
+    """Flip the process default device to the host CPU (glue runs
+    local; accelerator use becomes explicit). Returns True if flipped.
+    Idempotent; no-op on CPU-only hosts."""
+    cpu = cpu_device()
+    if cpu is None or accel_device() is None:
+        return False
+    jax.config.update("jax_default_device", cpu)
+    return True
+
+
+class PackedAccelFn:
+    """Run ``fn`` jitted on the accelerator with packed transfers.
+
+    fn(*args) -> pytree of arrays; args are pytrees of fixed-shape
+    arrays. Float leaves ride ONE f32 upload, int/bool leaves ONE i32
+    upload; every output leaf returns in ONE f32 download. A wrapper
+    jit is cached per args-structure (shapes + dtypes + treedef).
+
+    Falls back to plain jit on CPU-only hosts (no packing needed).
+    """
+
+    def __init__(self, fn: Callable, static_argnames=()):
+        self.fn = fn
+        self._cache = {}
+        self._plain = None
+
+    def _key(self, leaves):
+        return tuple(
+            (np.asarray(x).shape, np.asarray(x).dtype.str) for x in leaves
+        )
+
+    def __call__(self, *args, **kwargs):
+        dev = accel_device()
+        if dev is None:
+            if self._plain is None:
+                self._plain = jax.jit(self.fn)
+            return self._plain(*args, **kwargs)
+
+        names = tuple(sorted(kwargs))
+        bundle = (args, tuple(kwargs[k] for k in names))
+        leaves, treedef = jax.tree_util.tree_flatten(bundle)
+        key = (names, treedef, self._key(leaves))
+        entry = self._cache.get(key)
+        if entry is None:
+            entry = self._build(treedef, leaves, dev, names)
+            self._cache[key] = entry
+        packed_call, split = entry
+
+        fbuf, ibuf = _pack_host(leaves)
+        out_flat = np.asarray(packed_call(fbuf, ibuf))
+        return split(out_flat)
+
+    def _build(self, treedef, leaves, dev, names=()):
+        shapes = [np.asarray(x).shape for x in leaves]
+        dtypes = [np.asarray(x).dtype for x in leaves]
+        is_f = [np.issubdtype(d, np.floating) for d in dtypes]
+        sizes = [int(np.prod(s)) if len(s) else 1 for s in shapes]
+
+        out_template = {}
+
+        def device_fn(fbuf, ibuf):
+            recon = []
+            fo = io_ = 0
+            for shp, dt, f, n in zip(shapes, dtypes, is_f, sizes):
+                if f:
+                    x = fbuf[fo:fo + n].reshape(shp)
+                    fo += n
+                else:
+                    x = ibuf[io_:io_ + n].reshape(shp)
+                    io_ += n
+                    if dt == np.bool_:
+                        x = x.astype(bool)
+                    elif dt != np.int32:
+                        x = x.astype(dt)
+                recon.append(x)
+            args2, kw_vals = jax.tree_util.tree_unflatten(treedef, recon)
+            out = self.fn(*args2, **dict(zip(names, kw_vals)))
+            out_leaves, out_def = jax.tree_util.tree_flatten(out)
+            out_template["def"] = out_def
+            out_template["shapes"] = [o.shape for o in out_leaves]
+            out_template["dtypes"] = [o.dtype for o in out_leaves]
+            return jnp.concatenate(
+                [o.astype(jnp.float32).reshape(-1) for o in out_leaves]
+            )
+
+        jitted = jax.jit(device_fn)
+        fbuf, ibuf = _pack_host(leaves)
+        # trace once (fills out_template) on the accelerator
+        with jax.default_device(dev):
+            jitted.lower(fbuf, ibuf)  # traces device_fn -> out_template
+
+        def packed_call(fb, ib):
+            with jax.default_device(dev):
+                return jitted(fb, ib)
+
+        o_shapes = out_template["shapes"]
+        o_dtypes = out_template["dtypes"]
+        o_def = out_template["def"]
+        o_sizes = [int(np.prod(s)) if len(s) else 1 for s in o_shapes]
+        offs = np.concatenate([[0], np.cumsum(o_sizes)]).astype(int)
+
+        def split(flat):
+            outs = []
+            for k, (shp, dt) in enumerate(zip(o_shapes, o_dtypes)):
+                x = flat[offs[k]:offs[k + 1]].reshape(shp)
+                if dt == np.bool_:
+                    x = x > 0.5
+                elif np.issubdtype(dt, np.integer):
+                    x = np.rint(x).astype(dt)
+                elif x.dtype != dt:
+                    x = x.astype(dt)
+                outs.append(x)
+            return jax.tree_util.tree_unflatten(o_def, outs)
+
+        return packed_call, split
+
+
+def _pack_host(leaves):
+    fparts, iparts = [], []
+    for x in leaves:
+        a = np.asarray(x)
+        if np.issubdtype(a.dtype, np.floating):
+            fparts.append(a.astype(np.float32, copy=False).reshape(-1))
+        else:
+            iparts.append(a.astype(np.int32, copy=False).reshape(-1))
+    fbuf = (np.concatenate(fparts) if fparts
+            else np.zeros((1,), np.float32))
+    ibuf = (np.concatenate(iparts) if iparts
+            else np.zeros((1,), np.int32))
+    return fbuf, ibuf

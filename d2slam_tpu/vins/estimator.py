@@ -159,7 +159,13 @@ class D2Estimator:
         self.perf = PerfTracker()
 
         psi = e.focal_length / 1.5
-        self._solve = jax.jit(
+        # heavy programs ride the accelerator with PACKED transfers
+        # (one upload per dtype class, one download — a tunneled TPU
+        # pays 30-50 ms per crossing; see utils/placement.py). On
+        # CPU-only hosts these degrade to plain jits.
+        from d2slam_tpu.utils.placement import PackedAccelFn
+
+        self._solve = PackedAccelFn(
             functools.partial(
                 lm_solve_vio,
                 self.layout,
@@ -173,7 +179,7 @@ class D2Estimator:
                 refine_steps=e.cholesky_refine_steps,
             )
         )
-        self._marginalize = jax.jit(
+        self._marginalize = PackedAccelFn(
             functools.partial(
                 marginalize,
                 self.layout,
@@ -185,6 +191,8 @@ class D2Estimator:
                 remove_base_mode=e.remove_base_when_margin_remote,
             )
         )
+        # glue: preintegration is tiny — local CPU under the system
+        # node's default-device flip
         self._preintegrate = jax.jit(
             jax.vmap(preintegrate, in_axes=(0, 0, 0, 0, 0, 0, None))
         )

@@ -47,6 +47,12 @@ def main():
     HF, WF, R_WALL = 480, 640, 5.0
 
     def make_rig(baseline=0.3):
+        """4 outward fisheyes at 90 deg steps, each displaced ALONG its
+        optical axis (the quadrotor-arm geometry): adjacent centers
+        then sit ``baseline`` apart PERPENDICULAR to the pair's virtual
+        view direction — the rectified-pair condition the disparity
+        model (disp = f*B/z) assumes."""
+        radius = baseline / np.sqrt(2.0)
         fisheyes = [KBParams.make(190.0, 190.0, WF / 2, HF / 2, k2=0.005,
                                   dtype=jnp.float32) for _ in range(4)]
         ext = np.zeros((4, 7))
@@ -54,8 +60,7 @@ def main():
             yaw = np.deg2rad(90.0 * i)
             R = np.asarray(so3_exp(jnp.asarray([0.0, yaw, 0.0])))
             ext[i] = np.concatenate(
-                [R @ [baseline / 2, 0, baseline / 2],
-                 np_lie.rotmat_to_quat(R)])
+                [R @ [0.0, 0.0, radius], np_lie.rotmat_to_quat(R)])
         return fisheyes, ext
 
     def render(fisheye, T_body_cam, seed=0):
@@ -100,25 +105,80 @@ def main():
     else:
         print("disparity backend: block matching (no HitNet onnx found)")
 
+    # RGB texture: tint the gray render per camera so the colored-cloud
+    # path (reference publishThread RGB clouds) is exercised end to end
+    tints = np.array([[1.0, 0.6, 0.6], [0.6, 1.0, 0.6],
+                      [0.6, 0.6, 1.0], [1.0, 1.0, 0.6]])
+    color_imgs = [
+        jnp.asarray(np.asarray(imgs[i])[..., None] * tints[i], jnp.float32)
+        for i in range(4)
+    ]
+
     t0 = time.perf_counter()
-    out = quadcam_depth(imgs, pairs, cfg, hitnet=hitnet)
-    jax.block_until_ready([pts for pts, _ in out])
+    out = quadcam_depth(imgs, pairs, cfg, hitnet=hitnet,
+                        color_images=color_imgs)
+    jax.block_until_ready([pts for pts, _, _ in out])
     print(f"4-pair pipeline: {(time.perf_counter() - t0) * 1000:.1f} ms "
           "(incl. compile)")
 
-    for k, (pts, ok) in enumerate(out):
+    from d2slam_tpu.depth.quadcam import cloud_in_body
+
+    n_cloud = 0
+    for k, (pts, ok, tex) in enumerate(out):
         z = np.asarray(pts[..., 2])
         m = np.asarray(ok)
         med = float(np.median(z[m])) if m.any() else float("nan")
+        body = np.asarray(cloud_in_body(pairs[k], pts))
+        rgb = np.asarray(tex)[m]
+        n_cloud += int(m.sum())
         print(f"pair {k} (cams {pairs[k].cam_left}-{pairs[k].cam_right}): "
               f"valid {m.mean() * 100:.0f}%  median depth {med:.2f} m "
-              f"(wall radius {R_WALL} m)")
+              f"(wall radius {R_WALL} m)  rgb mean {rgb.mean(0).round(2)}")
+        assert body.shape == pts.shape
+    print(f"colored omnidirectional cloud: {n_cloud} points "
+          "(body frame, per-point RGB)")
+
+    # 3-stage pipelined replay over the native bounded queues
+    # (reference raw-process / inference / publish threads,
+    # quadcam_depth_est_trt.hpp:32-43)
+    import threading
+
+    from d2slam_tpu.runtime.pipeline import FrameQueue
+
+    q_raw, q_out = FrameQueue(2), FrameQueue(4)
+    N_FRAMES = 6 if jax.default_backend() != "cpu" else 3
+
+    def producer():
+        for _ in range(N_FRAMES):
+            q_raw.push_obj((imgs, color_imgs), block_ms=1000)
+
+    def worker():
+        for _ in range(N_FRAMES):
+            frame = q_raw.pop_obj(timeout_ms=2000)
+            if frame is None:
+                break
+            fi, ci = frame
+            res = quadcam_depth(fi, pairs, cfg, hitnet=hitnet,
+                                color_images=ci)
+            jax.block_until_ready([p for p, _, _ in res])
+            q_out.push_obj(len(res), block_ms=1000)
+
+    threading.Thread(target=producer, daemon=True).start()
+    t0 = time.perf_counter()
+    w = threading.Thread(target=worker, daemon=True)
+    w.start()
+    done = sum(1 for _ in range(N_FRAMES)
+               if q_out.pop_obj(timeout_ms=120000) is not None)
+    w.join(timeout=20)
+    dt = (time.perf_counter() - t0) / max(done, 1)
+    print(f"pipelined replay: {done}/{N_FRAMES} frames, "
+          f"{dt * 1000:.1f} ms/frame steady-state")
 
     if args.save_viz:
         from d2slam_tpu.utils.visualization import disparity_to_rgb
 
         os.makedirs(args.save_viz, exist_ok=True)
-        for k, (pts, ok) in enumerate(out):
+        for k, (pts, ok, _tex) in enumerate(out):
             z = np.asarray(pts[..., 2])
             f = pairs[k].focal * pairs[k].baseline
             disp = np.where(np.asarray(ok), f / np.maximum(z, 1e-6), 0.0)

@@ -20,7 +20,10 @@ from d2slam_tpu.vins.estimator import D2Estimator
 # stereo full-run RMSE 0.035, quadcam 0.034, swarm joint RMSE ~0.35.
 GOLDEN_STEREO_ATE = 0.05
 GOLDEN_QUADCAM_ATE = 0.05
-GOLDEN_SWARM_RMSE = 0.70
+GOLDEN_SWARM_RMSE = 0.45     # observed 0.35 (was 0.70: a 2x quality
+#                              regression could hide under that pin)
+GOLDEN_DPGO_VS_CENTRAL = 0.15  # transport-ARock vs centralized optimum
+GOLDEN_QUADCAM_DISP_RMS = 0.35  # px, rendered virtual-stereo pair
 
 
 def run_vio(sim, cfg, ext, n_frames=16):
@@ -121,6 +124,100 @@ def test_golden_two_robot_swarm():
     ]
     rmse = float(np.sqrt(np.mean(np.square(errs))))
     assert rmse < GOLDEN_SWARM_RMSE, f"swarm joint RMSE regressed: {rmse:.3f}"
+
+
+def test_golden_quadcam_disparity():
+    """Rendered virtual-stereo pair through the quadcam pipeline: the
+    block-matcher disparity must stay within a pinned RMS of the
+    analytic ground truth (regression guard on the remap + disparity
+    stack; the trained-HitNet path is covered by test_onnx_jax)."""
+    import jax.numpy as jnp
+
+    from d2slam_tpu.depth.fisheye_undist import remap_bilinear
+    from d2slam_tpu.depth.quadcam import QuadcamConfig, build_virtual_stereo
+    from d2slam_tpu.depth.stereo import disparity
+    from d2slam_tpu.geometry.cameras import KBParams, kb_lift
+    from d2slam_tpu.geometry.lie import so3_exp
+
+    HF, WF, R_WALL = 240, 320, 5.0
+    rng = np.random.default_rng(7)
+    tex = rng.uniform(0, 1, (64, 512))
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    tex = (sliding_window_view(np.pad(tex, 2, mode="wrap"), (5, 5))
+           / 25).sum(axis=(2, 3))
+
+    fisheyes = [KBParams.make(95.0, 95.0, WF / 2, HF / 2, k2=0.005)
+                for _ in range(4)]
+    # quadrotor-arm ring: each camera displaced ALONG its optical axis,
+    # so adjacent virtual pairs are rectified (baseline perpendicular
+    # to the bisector view direction)
+    radius = 0.3 / np.sqrt(2.0)
+    ext = np.zeros((4, 7))
+    for i in range(4):
+        yaw = np.deg2rad(90.0 * i)
+        R = np_lie.quat_to_rotmat(
+            np.array([0, np.sin(yaw / 2), 0, np.cos(yaw / 2)]))
+        ext[i] = np.concatenate(
+            [R @ [0.0, 0.0, radius], np_lie.rotmat_to_quat(R)])
+
+    def render(fisheye, T_body_cam):
+        ys, xs = np.meshgrid(np.arange(HF), np.arange(WF), indexing="ij")
+        uv = jnp.asarray(np.stack([xs, ys], -1).reshape(-1, 2), jnp.float32)
+        rays = np.asarray(kb_lift(uv, fisheye))
+        R = np_lie.quat_to_rotmat(T_body_cam[3:])
+        rays_b = rays @ R.T
+        c = T_body_cam[:3]
+        dx, dz = rays_b[:, 0], rays_b[:, 2]
+        a = dx * dx + dz * dz
+        b = 2 * (c[0] * dx + c[2] * dz)
+        cc = c[0] ** 2 + c[2] ** 2 - R_WALL ** 2
+        t = (-b + np.sqrt(np.maximum(b * b - 4 * a * cc, 0.0))) \
+            / np.maximum(2 * a, 1e-9)
+        pts = c + rays_b * t[:, None]
+        th = np.arctan2(pts[:, 0], pts[:, 2])
+        ui = ((th + np.pi) / (2 * np.pi) * 512).astype(int) % 512
+        vi = np.clip(((pts[:, 1] + 2.0) / 4.0 * 64).astype(int), 0, 63)
+        return tex[vi, ui].reshape(HF, WF).astype(np.float32), \
+            pts.reshape(HF, WF, 3)
+
+    cfg = QuadcamConfig(out_hw=(120, 160), min_z=1.0, max_z=20.0,
+                        max_disp=32, block=7)
+    pairs = build_virtual_stereo(fisheyes, ext, cfg)
+    p = pairs[0]
+    imgs = {i: render(fisheyes[i], ext[i])[0] for i in (0, 1)}
+    left = remap_bilinear(jnp.asarray(imgs[0]), p.map_left)
+    right = remap_bilinear(jnp.asarray(imgs[1]), p.map_right)
+    disp, ok = disparity(left, right, max_disp=cfg.max_disp,
+                         block=cfg.block)
+    disp, ok = np.asarray(disp), np.asarray(ok)
+
+    # analytic GT disparity: depth of the wall along each virtual ray
+    H, W = cfg.out_hw
+    ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    rays_v = np.stack([(xs - W / 2.0) / p.focal,
+                       (ys - H / 2.0) / p.focal,
+                       np.ones_like(xs, np.float64)], axis=-1)
+    a45 = np.deg2rad(45.0)
+    Rl = np_lie.quat_to_rotmat(ext[0][3:]) @ np.asarray(
+        np_lie.quat_to_rotmat(
+            np.array([0, np.sin(a45 / 2), 0, np.cos(a45 / 2)])))
+    rays_b = rays_v @ Rl.T
+    c = ext[0][:3]
+    dx, dz = rays_b[..., 0], rays_b[..., 2]
+    a = dx * dx + dz * dz
+    b = 2 * (c[0] * dx + c[2] * dz)
+    cc = c[0] ** 2 + c[2] ** 2 - R_WALL ** 2
+    t = (-b + np.sqrt(np.maximum(b * b - 4 * a * cc, 0.0))) \
+        / np.maximum(2 * a, 1e-9)
+    z_gt = t * rays_v[..., 2]  # depth along the virtual optical axis
+    disp_gt = p.focal * p.baseline / np.maximum(z_gt, 1e-6)
+
+    sel = ok & (disp > 0.5) & (disp_gt < cfg.max_disp - 1)
+    sel[:, :8] = False  # left occlusion band
+    assert sel.mean() > 0.3, f"too few valid disparities ({sel.mean():.2f})"
+    rms = float(np.sqrt(np.mean((disp[sel] - disp_gt[sel]) ** 2)))
+    assert rms < GOLDEN_QUADCAM_DISP_RMS, f"disparity RMS regressed: {rms:.3f} px"
 
 
 @pytest.mark.slow
