@@ -35,6 +35,12 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _link_ms() -> float:
+    from d2slam_tpu.utils.placement import link_roundtrip_ms
+
+    return link_roundtrip_ms()
+
+
 def _peak_flops(dtype) -> float:
     kind = jax.devices()[0].device_kind.lower()
     is_bf16 = dtype == jnp.bfloat16
@@ -324,6 +330,13 @@ def main():
             # MFU basis: XLA-counted flops / (time x assumed peak). On
             # CPU the peak is a nominal 100 GF -> relative-only numbers
             "mfu_absolute": not on_cpu,
+            # host<->accelerator round-trip latency of this session's
+            # link. The whole-system number is LINK-BOUND when this is
+            # tens of ms (network-tunneled TPU): each keyframe costs ~2
+            # packed round trips; with a locally attached chip
+            # (~0.1 ms) the same code runs at device speed
+            # (e2e_keyframe_ms).
+            "link_roundtrip_ms": round(_link_ms(), 1),
             "device": jax.devices()[0].device_kind,
         },
     }))

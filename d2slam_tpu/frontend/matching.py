@@ -9,13 +9,56 @@ same GEMM pattern over the keyframe database.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 NEG = -1e9
 
 
-def match_descriptors(
+def _bucket(n: int, lo: int = 32) -> int:
+    m = lo
+    while m < n:
+        m *= 2
+    return m
+
+
+def _pad_rows(a, n):
+    a = np.asarray(a)
+    if a.shape[0] >= n:
+        return a
+    w = [(0, n - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+    return np.pad(a, w)  # zeros; bool valid pads False
+
+
+def bucketed(core, a_idx, b_idx):
+    """Wrap a jitted matcher so callers with VARYING point counts hit a
+    few power-of-2-bucketed compilations instead of one per distinct
+    shape (per-frame keypoint counts vary; each new shape would
+    recompile — ~0.1 s on CPU glue, ~0.5 s through a remote tunnel).
+    Positional args listed in ``a_idx`` pad to the a-side bucket,
+    ``b_idx`` to the b-side; outputs slice back to the true a length."""
+
+    def wrapper(*args, **kwargs):
+        args = list(args)
+        na = np.asarray(args[a_idx[0]]).shape[0]
+        nb = np.asarray(args[b_idx[0]]).shape[0]
+        ba, bb = _bucket(na), _bucket(nb)
+        for i in a_idx:
+            args[i] = _pad_rows(args[i], ba)
+        for i in b_idx:
+            args[i] = _pad_rows(args[i], bb)
+        out = core(*args, **kwargs)
+        return jax.tree_util.tree_map(lambda x: x[:na], out)
+
+    return wrapper
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ratio", "min_similarity", "cross_check"))
+def _match_descriptors_core(
     desc_a, desc_b, valid_a, valid_b,
     ratio: float = 0.8,
     min_similarity: float = -1.0,
@@ -44,7 +87,9 @@ def match_descriptors(
     return idx2[:, 0].astype(jnp.int32), ok
 
 
-def match_descriptors_radius(
+@functools.partial(
+    jax.jit, static_argnames=("radius", "ratio", "cross_check"))
+def _match_descriptors_radius_core(
     desc_a, desc_b, pts_pred_a, pts_b, valid_a, valid_b,
     radius: float,
     ratio: float = 0.8,
@@ -70,7 +115,9 @@ def match_descriptors_radius(
     return idx2[:, 0].astype(jnp.int32), ok
 
 
-def match_stereo_epipolar(
+@functools.partial(
+    jax.jit, static_argnames=("max_disparity", "band_px", "ratio"))
+def _match_stereo_epipolar_core(
     desc_l, desc_r, pts_l, pts_r, valid_l, valid_r,
     max_disparity: float = 80.0,
     band_px: float = 2.5,
@@ -98,6 +145,7 @@ def match_stereo_epipolar(
     return idx2[:, 0].astype(jnp.int32), ok
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
 def retrieval_topk(query, database, db_valid, k: int):
     """NetVLAD inner-product retrieval over the keyframe DB — the
     FAISS-IndexFlatIP-equivalent as one GEMM + top-k (reference
@@ -108,3 +156,12 @@ def retrieval_topk(query, database, db_valid, k: int):
     sim = query @ database.T
     sim = jnp.where(db_valid[None, :], sim, NEG)
     return jax.lax.top_k(sim, k)
+
+
+# public bucketed entry points (fixed small set of compiled shapes)
+match_descriptors = bucketed(
+    _match_descriptors_core, a_idx=(0, 2), b_idx=(1, 3))
+match_descriptors_radius = bucketed(
+    _match_descriptors_radius_core, a_idx=(0, 2, 4), b_idx=(1, 3, 5))
+match_stereo_epipolar = bucketed(
+    _match_stereo_epipolar_core, a_idx=(0, 2, 4), b_idx=(1, 3, 5))

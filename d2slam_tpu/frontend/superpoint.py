@@ -86,11 +86,10 @@ def _conv(x, p, stride=1):
     return y + p["b"]
 
 
-def superpoint_apply(params: Dict, img: jax.Array, compute_dtype=None):
-    """img: [B, H, W, 1] in [0,1]. Returns (scores [B,H,W],
-    desc_coarse [B,H/8,W/8,D]). compute_dtype (e.g. jnp.bfloat16) runs
-    the conv stack at reduced precision (the fp16-TensorRT equivalent);
-    outputs are float32 either way."""
+def superpoint_raw(params: Dict, img: jax.Array, compute_dtype=None):
+    """img: [B, H, W, 1] in [0,1]. Returns the PRE-softmax head outputs
+    (semi [B, Hc, Wc, 65], desc_norm [B, Hc, Wc, D]) — the training
+    interface (cell cross-entropy needs logits)."""
     x = img
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
@@ -112,17 +111,26 @@ def superpoint_apply(params: Dict, img: jax.Array, compute_dtype=None):
 
     cPa = relu(_conv(x, params["convPa"]))
     semi = _conv(cPa, params["convPb"]).astype(jnp.float32)  # [B,Hc,Wc,65]
-    dense = jax.nn.softmax(semi, axis=-1)[..., :64]  # drop dustbin
-    B, Hc, Wc, _ = dense.shape
-    # depth-to-space: cell scores -> full-resolution heatmap
-    scores = dense.reshape(B, Hc, Wc, 8, 8)
-    scores = scores.transpose(0, 1, 3, 2, 4).reshape(B, Hc * 8, Wc * 8)
 
     cDa = relu(_conv(x, params["convDa"]))
     desc = _conv(cDa, params["convDb"]).astype(jnp.float32)  # [B,Hc,Wc,D]
     desc = desc / jnp.maximum(
         jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-12
     )
+    return semi, desc
+
+
+def superpoint_apply(params: Dict, img: jax.Array, compute_dtype=None):
+    """img: [B, H, W, 1] in [0,1]. Returns (scores [B,H,W],
+    desc_coarse [B,H/8,W/8,D]). compute_dtype (e.g. jnp.bfloat16) runs
+    the conv stack at reduced precision (the fp16-TensorRT equivalent);
+    outputs are float32 either way."""
+    semi, desc = superpoint_raw(params, img, compute_dtype)
+    dense = jax.nn.softmax(semi, axis=-1)[..., :64]  # drop dustbin
+    B, Hc, Wc, _ = dense.shape
+    # depth-to-space: cell scores -> full-resolution heatmap
+    scores = dense.reshape(B, Hc, Wc, 8, 8)
+    scores = scores.transpose(0, 1, 3, 2, 4).reshape(B, Hc * 8, Wc * 8)
     return scores, desc
 
 

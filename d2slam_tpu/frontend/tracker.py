@@ -51,6 +51,16 @@ class TrackerConfig:
     depth_max: float = 10.0
 
 
+def _img_u8(img: np.ndarray) -> np.ndarray:
+    """Quantize an image (or stack) to uint8 for the packed upload.
+    Float inputs are treated as [0, 1] (the pipeline convention);
+    uint8 passes through."""
+    a = np.asarray(img)
+    if a.dtype == np.uint8:
+        return a
+    return np.clip(a * 255.0 + 0.5, 0, 255).astype(np.uint8)
+
+
 class TrackedFeature:
     __slots__ = ("lm_id", "pt", "desc", "n_tracks")
 
@@ -159,6 +169,19 @@ class FeatureTracker:
         enable_superglue_local; wire frontend.superglue here)."""
         self.sp_params = sp_params
         self.sp_cfg = sp_cfg
+        # camera params feed eager glue math (lift/project) — keep them
+        # on the host CPU backend: a TPU-committed param struct drags
+        # every eager lift through the accelerator link
+        from d2slam_tpu.utils.placement import accel_device, cpu_device
+
+        if cam_params is not None and accel_device() is not None:
+            cam_params = [
+                c if c is None or not any(
+                    isinstance(l, jax.Array)
+                    for l in jax.tree_util.tree_leaves(c)
+                ) else jax.device_put(c, cpu_device())
+                for c in cam_params
+            ]
         self.cams = cam_params  # PinholeParams or any object with .lift
         #                         (e.g. geometry.kalibr.KalibrCamera)
         self.cfg = cfg
@@ -166,20 +189,30 @@ class FeatureTracker:
         self.ext = None if extrinsics is None else np.asarray(extrinsics)
         self.matcher_fn = matcher_fn
         if extract_fn is None:
-            from d2slam_tpu.utils.placement import PackedAccelFn, accel_device
+            from d2slam_tpu.utils.placement import PackedAccelFn
 
-            if accel_device() is not None:
-                # pin the CNN weights to the accelerator once; the
-                # packed wrappers then cross the link exactly twice per
-                # frame (stacked views up, packed features down)
-                sp_params = jax.device_put(sp_params, accel_device())
+            # weights ride as accelerator-resident jit ARGUMENTS
+            # (device_args): closure capture would inline them as jaxpr
+            # constants and fetch the whole net from the device on
+            # every lowering. Images upload as uint8 (4x less transfer
+            # on a bandwidth-limited link) and normalize on device. The
+            # packed wrappers then cross the link exactly twice per
+            # frame (views up, features down).
+            def _norm(im):
+                return im.astype(jnp.float32) / 255.0
+
             packed_one = PackedAccelFn(
-                lambda img: superpoint_extract(sp_params, img, sp_cfg)
+                lambda p, img: superpoint_extract(p, _norm(img), sp_cfg),
+                device_args=(sp_params,),
             )
-            self._extract = lambda img, cam_id: packed_one(img)
-            self._extract_batch = PackedAccelFn(jax.vmap(
-                lambda img: superpoint_extract(sp_params, img, sp_cfg)
-            ))
+            self._extract = lambda img, cam_id: packed_one(_img_u8(img))
+            packed_batch = PackedAccelFn(
+                lambda p, imgs: jax.vmap(
+                    lambda im: superpoint_extract(p, _norm(im), sp_cfg)
+                )(imgs),
+                device_args=(sp_params,),
+            )
+            self._extract_batch = lambda imgs: packed_batch(_img_u8(imgs))
         else:
             self._extract = extract_fn
             self._extract_batch = None
@@ -194,24 +227,37 @@ class FeatureTracker:
     def _lift(self, cam_idx: int, uv):
         """Pixels -> unit rays for camera ``cam_idx``; dispatches on the
         camera object so fisheye chains (KalibrCamera) work alongside
-        bare PinholeParams (reference liftProjective polymorphism)."""
+        bare PinholeParams (reference liftProjective polymorphism).
+        Pinhole runs in pure numpy — the per-frame keypoint count
+        varies, and eager/jitted device math would recompile (or cross
+        a remote link) every frame."""
         cam = self.cams[cam_idx]
-        uv = jnp.asarray(uv, jnp.float32)
         if hasattr(cam, "lift"):
-            return cam.lift(uv)
-        return pinhole_lift(uv, cam)
+            return cam.lift(jnp.asarray(uv, jnp.float32))
+        uv = np.asarray(uv, np.float64)
+        r = np.stack([
+            (uv[..., 0] - float(cam.cx)) / float(cam.fx),
+            (uv[..., 1] - float(cam.cy)) / float(cam.fy),
+            np.ones(uv.shape[:-1]),
+        ], axis=-1)
+        return r / np.maximum(
+            np.linalg.norm(r, axis=-1, keepdims=True), 1e-12)
 
     def _project(self, cam_idx: int, rays):
         """Camera-frame rays -> [N, 2] pixels for camera ``cam_idx``
         (project functions also return a validity mask — dropped here;
         callers gate on ray z separately)."""
-        from d2slam_tpu.geometry.cameras import pinhole_project
-
         cam = self.cams[cam_idx]
-        rays = jnp.asarray(rays, jnp.float32)
-        out = (cam.project(rays) if hasattr(cam, "project")
-               else pinhole_project(rays, cam))
-        return out[0] if isinstance(out, tuple) else out
+        if hasattr(cam, "project"):
+            out = cam.project(jnp.asarray(rays, jnp.float32))
+            return out[0] if isinstance(out, tuple) else out
+        rays = np.asarray(rays, np.float64)
+        z = np.maximum(np.abs(rays[..., 2]), 1e-9) * np.sign(
+            np.where(rays[..., 2] == 0, 1.0, rays[..., 2]))
+        return np.stack([
+            float(cam.fx) * rays[..., 0] / z + float(cam.cx),
+            float(cam.fy) * rays[..., 1] / z + float(cam.cy),
+        ], axis=-1)
 
     def _match(self, desc_a, pts_a, valid_a, desc_b, pts_b, valid_b,
                radius: float):

@@ -1,0 +1,404 @@
+"""In-container training of the learned frontend on synthetic data.
+
+The reference ships TRAINED SuperPoint / MobileNetVLAD networks
+(reference: d2frontend/src/CNN/superpoint_tensorrt.cpp:49-104,
+mobilenetvlad_onnx.h:49-74); their weight files do not exist in this
+zero-egress container, so the image path previously ran random-init
+weights (not 3D-consistent) and a weight-free downsample embedding.
+This module closes that gap the way the original networks were built:
+
+* **SuperPoint**: MagicPoint-style supervised pretraining on synthetic
+  geometry with EXACT corner ground truth (random polygons / lines /
+  checkerboards drawn with PIL), cell-wise 65-way cross-entropy on the
+  8x8 depth-to-space grid, plus the SuperPoint descriptor hinge loss
+  over random-homography pairs (homographic adaptation — the
+  self-supervision of the original paper, arXiv:1712.07629).
+* **NetVLAD head**: contrastive (NT-Xent) training of the compact
+  netvlad.py architecture: two random homography+photometric views of
+  the same scene are positives, the rest of the batch negatives —
+  producing a genuinely learned place-recognition embedding.
+
+Everything is jitted and batched for the accelerator; data generation
+is host-side PIL/numpy (cheap next to the conv stack).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from d2slam_tpu.frontend.superpoint import (
+    SuperPointConfig,
+    superpoint_init,
+    superpoint_raw,
+)
+
+
+# ---------------------------------------------------------------------------
+# synthetic geometry with exact corner ground truth
+# ---------------------------------------------------------------------------
+
+
+def synth_corners_image(rng: np.random.Generator, H: int, W: int):
+    """One synthetic image [H, W] float in [0,1] + corner list [N, 2]
+    (x, y). Shapes: random convex quads, triangles, line junctions,
+    checkerboard patches — the MagicPoint synthetic-shapes recipe."""
+    from PIL import Image, ImageDraw, ImageFilter
+
+    img = Image.new("L", (W, H), int(rng.uniform(25, 128)))
+    dr = ImageDraw.Draw(img)
+    corners = []
+
+    def poly(n_pts, min_r=8, max_r=40):
+        cx, cy = rng.uniform(10, W - 10), rng.uniform(10, H - 10)
+        angs = np.sort(rng.uniform(0, 2 * np.pi, n_pts))
+        rad = rng.uniform(min_r, max_r, n_pts)
+        pts = np.stack([cx + rad * np.cos(angs), cy + rad * np.sin(angs)],
+                       axis=1)
+        return pts
+
+    for _ in range(rng.integers(3, 7)):
+        kind = rng.integers(0, 4)
+        shade = int(rng.uniform(0, 255))
+        if kind == 0:      # filled convex polygon
+            pts = poly(int(rng.integers(3, 7)))
+            dr.polygon([tuple(p) for p in pts], fill=shade)
+            corners.extend(pts)
+        elif kind == 1:    # line segment (endpoints are corners)
+            p = rng.uniform([0, 0], [W, H], (2, 2))
+            dr.line([tuple(p[0]), tuple(p[1])], fill=shade,
+                    width=int(rng.integers(1, 4)))
+            corners.extend(p)
+        elif kind == 2:    # rectangle (axis-aligned, 4 corners)
+            x0, y0 = rng.uniform(5, W - 30), rng.uniform(5, H - 30)
+            w, h = rng.uniform(10, 50), rng.uniform(10, 50)
+            x1, y1 = min(x0 + w, W - 2), min(y0 + h, H - 2)
+            dr.rectangle([x0, y0, x1, y1], fill=shade)
+            corners.extend([[x0, y0], [x1, y0], [x0, y1], [x1, y1]])
+        else:              # checkerboard patch
+            x0, y0 = rng.uniform(5, W - 50), rng.uniform(5, H - 50)
+            cell = rng.uniform(8, 16)
+            nx, ny = rng.integers(2, 4), rng.integers(2, 4)
+            for i in range(nx):
+                for j in range(ny):
+                    if (i + j) % 2 == 0:
+                        dr.rectangle(
+                            [x0 + i * cell, y0 + j * cell,
+                             x0 + (i + 1) * cell, y0 + (j + 1) * cell],
+                            fill=shade,
+                        )
+            for i in range(nx + 1):
+                for j in range(ny + 1):
+                    corners.append([x0 + i * cell, y0 + j * cell])
+
+    if rng.uniform() < 0.7:
+        img = img.filter(ImageFilter.GaussianBlur(rng.uniform(0.3, 1.2)))
+    a = np.asarray(img, np.float32) / 255.0
+    a = a + rng.normal(0, rng.uniform(0.01, 0.05), a.shape)
+    a = np.clip(a, 0.0, 1.0)
+    c = np.asarray(corners, np.float64).reshape(-1, 2)
+    keep = (c[:, 0] > 2) & (c[:, 0] < W - 3) & (c[:, 1] > 2) & (c[:, 1] < H - 3)
+    return a.astype(np.float32), c[keep]
+
+
+def cell_labels(corners: np.ndarray, H: int, W: int) -> np.ndarray:
+    """[Hc, Wc] int32 65-way labels: position (0..63) of a corner
+    inside its 8x8 cell, 64 (dustbin) for empty cells. Multiple
+    corners per cell: last one wins (as in the original training)."""
+    Hc, Wc = H // 8, W // 8
+    lab = np.full((Hc, Wc), 64, np.int32)
+    for (x, y) in corners:
+        cx, cy = int(x) // 8, int(y) // 8
+        if 0 <= cx < Wc and 0 <= cy < Hc:
+            lab[cy, cx] = (int(y) % 8) * 8 + (int(x) % 8)
+    return lab
+
+
+def make_batch(rng: np.random.Generator, B: int, H: int, W: int):
+    imgs = np.zeros((B, H, W), np.float32)
+    labs = np.zeros((B, H // 8, W // 8), np.int32)
+    for b in range(B):
+        img, c = synth_corners_image(rng, H, W)
+        imgs[b] = img
+        labs[b] = cell_labels(c, H, W)
+    return imgs, labs
+
+
+# ---------------------------------------------------------------------------
+# homographies + device warping
+# ---------------------------------------------------------------------------
+
+
+def random_homography(rng: np.random.Generator, H: int, W: int,
+                      max_angle=0.5, max_scale=0.25, max_trans=0.1,
+                      max_persp=3e-4) -> np.ndarray:
+    """Random in-plane rotation + scale + translation + perspective,
+    mapping DESTINATION pixel coords to SOURCE pixel coords."""
+    a = rng.uniform(-max_angle, max_angle)
+    s = np.exp(rng.uniform(-max_scale, max_scale))
+    tx = rng.uniform(-max_trans, max_trans) * W
+    ty = rng.uniform(-max_trans, max_trans) * H
+    c, sn = np.cos(a), np.sin(a)
+    cx, cy = W / 2.0, H / 2.0
+    A = np.array([[s * c, -s * sn, 0], [s * sn, s * c, 0], [0, 0, 1.0]])
+    P = np.eye(3)
+    P[2, 0] = rng.uniform(-max_persp, max_persp)
+    P[2, 1] = rng.uniform(-max_persp, max_persp)
+    T0 = np.array([[1, 0, -cx], [0, 1, -cy], [0, 0, 1.0]])
+    T1 = np.array([[1, 0, cx + tx], [0, 1, cy + ty], [0, 0, 1.0]])
+    return T1 @ P @ A @ T0
+
+
+def warp_image(img: jax.Array, Hmat: jax.Array) -> jax.Array:
+    """Bilinear warp: out[y, x] = img(H^{-1} [x, y, 1]). Out-of-range
+    samples 0. img [H, W]; Hmat maps dest->?? — pass the matrix that
+    maps DEST pixels to SOURCE pixels."""
+    Himg, Wimg = img.shape
+    ys, xs = jnp.meshgrid(jnp.arange(Himg, dtype=jnp.float32),
+                          jnp.arange(Wimg, dtype=jnp.float32),
+                          indexing="ij")
+    ones = jnp.ones_like(xs)
+    src = jnp.einsum("ij,jhw->ihw", Hmat,
+                     jnp.stack([xs, ys, ones]))
+    sx = src[0] / jnp.maximum(jnp.abs(src[2]), 1e-9) * jnp.sign(src[2])
+    sy = src[1] / jnp.maximum(jnp.abs(src[2]), 1e-9) * jnp.sign(src[2])
+    inb = (sx >= 0) & (sx <= Wimg - 1.001) & (sy >= 0) & (sy <= Himg - 1.001)
+    sx = jnp.clip(sx, 0.0, Wimg - 1.001)
+    sy = jnp.clip(sy, 0.0, Himg - 1.001)
+    x0 = jnp.floor(sx).astype(jnp.int32)
+    y0 = jnp.floor(sy).astype(jnp.int32)
+    wx = sx - x0
+    wy = sy - y0
+    v = (img[y0, x0] * (1 - wx) * (1 - wy)
+         + img[y0, x0 + 1] * wx * (1 - wy)
+         + img[y0 + 1, x0] * (1 - wx) * wy
+         + img[y0 + 1, x0 + 1] * wx * wy)
+    return jnp.where(inb, v, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# losses
+# ---------------------------------------------------------------------------
+
+
+def detector_loss(semi: jax.Array, labels: jax.Array) -> jax.Array:
+    """65-way cell cross-entropy (dustbin down-weighted so corner cells
+    dominate — synthetic scenes are mostly empty)."""
+    logp = jax.nn.log_softmax(semi, axis=-1)          # [B, Hc, Wc, 65]
+    ce = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    w = jnp.where(labels == 64, 0.2, 1.0)
+    return jnp.sum(ce * w) / jnp.sum(w)
+
+
+def descriptor_loss(descA, descB, Hmat, img_hw,
+                    pos_margin=1.0, neg_margin=0.2, lam=250.0):
+    """SuperPoint hinge loss: cells whose centers correspond under the
+    homography (within 8 px) should match, others not.
+
+    descA/descB: [Hc, Wc, D] normalized; Hmat maps B pixels -> A
+    pixels (the warp matrix used to produce image B)."""
+    Hc, Wc, D = descA.shape
+    ys, xs = jnp.meshgrid(jnp.arange(Hc, dtype=jnp.float32),
+                          jnp.arange(Wc, dtype=jnp.float32), indexing="ij")
+    centers = jnp.stack([xs * 8 + 3.5, ys * 8 + 3.5,
+                         jnp.ones_like(xs)])       # [3, Hc, Wc] (B grid)
+    src = jnp.einsum("ij,jhw->ihw", Hmat, centers)  # -> A pixels
+    ax = (src[0] / jnp.maximum(jnp.abs(src[2]), 1e-9)
+          * jnp.sign(src[2])).reshape(-1)
+    ay = (src[1] / jnp.maximum(jnp.abs(src[2]), 1e-9)
+          * jnp.sign(src[2])).reshape(-1)           # [Nb]
+    cA = jnp.stack([xs * 8 + 3.5, ys * 8 + 3.5])    # [2, Hc, Wc]
+    cAx = cA[0].reshape(-1)
+    cAy = cA[1].reshape(-1)                         # [Na]
+    d2 = ((cAx[:, None] - ax[None, :]) ** 2
+          + (cAy[:, None] - ay[None, :]) ** 2)      # [Na, Nb]
+    s = (d2 <= 64.0).astype(descA.dtype)
+    dot = jnp.einsum("ad,bd->ab",
+                     descA.reshape(-1, D), descB.reshape(-1, D))
+    loss = (lam * s * jnp.maximum(0.0, pos_margin - dot)
+            + (1.0 - s) * jnp.maximum(0.0, dot - neg_margin))
+    return jnp.mean(loss)
+
+
+# ---------------------------------------------------------------------------
+# SuperPoint training
+# ---------------------------------------------------------------------------
+
+
+def train_superpoint(
+    steps: int = 2000,
+    batch: int = 16,
+    hw: Tuple[int, int] = (120, 160),
+    lr: float = 1e-3,
+    desc_weight: float = 1.0,
+    seed: int = 0,
+    cfg: SuperPointConfig = SuperPointConfig(),
+    log_every: int = 200,
+    params: Dict | None = None,
+):
+    """Returns (params, losses). Detector CE on synthetic corners +
+    descriptor hinge across random homography pairs."""
+    import optax
+
+    H, W = hw
+    rng = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(seed)
+    if params is None:
+        params = superpoint_init(key, cfg)
+    opt = optax.adam(lr)
+    opt_state = opt.init(params)
+
+    def loss_fn(p, imgs, labs, Hmats, labs_w):
+        # warp ON DEVICE inside the step: a host round trip per batch
+        # would dominate on a remote link
+        warped = jax.vmap(warp_image)(imgs, Hmats)
+        semiA, descA = superpoint_raw(p, imgs[..., None])
+        semiB, descB = superpoint_raw(p, warped[..., None])
+        det = detector_loss(semiA, labs) + detector_loss(semiB, labs_w)
+        dsc = jnp.mean(jax.vmap(
+            lambda a, b, h: descriptor_loss(a, b, h, (H, W))
+        )(descA, descB, Hmats))
+        return det + desc_weight * dsc, (det, dsc)
+
+    @jax.jit
+    def step_fn(p, o, imgs, labs, Hmats, labs_w):
+        (l, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(
+            p, imgs, labs, Hmats, labs_w)
+        up, o2 = opt.update(g, o)
+        return optax.apply_updates(p, up), o2, l, aux
+
+    losses = []
+    for it in range(steps):
+        imgs, labs = make_batch(rng, batch, H, W)
+        Hms = np.stack([random_homography(rng, H, W) for _ in range(batch)])
+        # labels for the warped view: warp each corner-cell center
+        labs_w = np.zeros_like(labs)
+        Hinv = np.linalg.inv(Hms)
+        for b in range(batch):
+            cy, cx = np.nonzero(labs[b] != 64)
+            if not len(cy):
+                continue
+            sub = labs[b, cy, cx]
+            px = cx * 8 + (sub % 8)
+            py = cy * 8 + (sub // 8)
+            pts = np.stack([px, py, np.ones_like(px)]).astype(np.float64)
+            dst = Hinv[b] @ pts      # A pixels -> B pixels
+            dx = dst[0] / dst[2]
+            dy = dst[1] / dst[2]
+            ok = (dx > 2) & (dx < W - 3) & (dy > 2) & (dy < H - 3)
+            labs_w[b] = cell_labels(np.stack([dx[ok], dy[ok]], 1), H, W)
+        params, opt_state, l, (det, dsc) = step_fn(
+            params, opt_state, jnp.asarray(imgs), jnp.asarray(labs),
+            jnp.asarray(Hms.astype(np.float32)), jnp.asarray(labs_w),
+        )
+        losses.append(l)  # device scalar; fetched once at the end
+        if log_every and it % log_every == 0:
+            jax.block_until_ready(l)  # direct fetch of a pending
+            # scalar takes a pathological tunnel path; block first
+            print(f"  sp step {it}: loss {float(l):.4f} "
+                  f"(det {float(det):.4f} desc {float(dsc):.4f})",
+                  flush=True)
+    stacked = jnp.stack(losses)
+    jax.block_until_ready(stacked)
+    return params, [float(x) for x in np.asarray(stacked)]
+
+
+# ---------------------------------------------------------------------------
+# NetVLAD contrastive training
+# ---------------------------------------------------------------------------
+
+
+def train_netvlad(
+    steps: int = 1000,
+    batch: int = 16,
+    hw: Tuple[int, int] = (120, 160),
+    lr: float = 1e-3,
+    temperature: float = 0.1,
+    seed: int = 1,
+    netvlad_cfg=None,
+    log_every: int = 100,
+    params: Dict | None = None,
+):
+    """NT-Xent contrastive training of the compact NetVLAD: two random
+    homography + photometric views of each scene are positives."""
+    import optax
+
+    from d2slam_tpu.frontend.netvlad import NetVLADConfig, netvlad_apply, netvlad_init
+
+    cfg = netvlad_cfg or NetVLADConfig()
+    H, W = hw
+    rng = np.random.default_rng(seed)
+    if params is None:
+        params = netvlad_init(jax.random.PRNGKey(seed), cfg)
+    opt = optax.adam(lr)
+    opt_state = opt.init(params)
+
+    def loss_fn(p, imgs, Ha, Hb, gains, biases):
+        a = jax.vmap(warp_image)(imgs, Ha)
+        b = jax.vmap(warp_image)(imgs, Hb)
+        a = jnp.clip(a * gains[:, 0] + biases[:, 0], 0, 1)
+        b = jnp.clip(b * gains[:, 1] + biases[:, 1], 0, 1)
+        za = netvlad_apply(p, a[..., None], cfg)   # [B, G] unit
+        zb = netvlad_apply(p, b[..., None], cfg)
+        sim = za @ zb.T / temperature              # [B, B]
+        labels = jnp.arange(sim.shape[0])
+        return 0.5 * (
+            optax.softmax_cross_entropy_with_integer_labels(sim, labels)
+            + optax.softmax_cross_entropy_with_integer_labels(sim.T, labels)
+        ).mean()
+
+    @jax.jit
+    def step_fn(p, o, imgs, Ha, Hb, gains, biases):
+        l, g = jax.value_and_grad(loss_fn)(p, imgs, Ha, Hb, gains, biases)
+        up, o2 = opt.update(g, o)
+        return optax.apply_updates(p, up), o2, l
+
+    losses = []
+    for it in range(steps):
+        imgs, _ = make_batch(rng, batch, H, W)
+        Hs = [np.stack([
+            random_homography(rng, H, W, max_angle=0.4, max_trans=0.15)
+            for _ in range(batch)
+        ]).astype(np.float32) for _ in range(2)]
+        gains = rng.uniform(0.6, 1.4, (batch, 2, 1, 1)).astype(np.float32)
+        biases = rng.uniform(-0.15, 0.15, (batch, 2, 1, 1)).astype(np.float32)
+        params, opt_state, l = step_fn(
+            params, opt_state, jnp.asarray(imgs),
+            jnp.asarray(Hs[0]), jnp.asarray(Hs[1]),
+            jnp.asarray(gains), jnp.asarray(biases))
+        losses.append(l)
+        if log_every and it % log_every == 0:
+            jax.block_until_ready(l)
+            print(f"  nv step {it}: loss {float(l):.4f}", flush=True)
+    stacked = jnp.stack(losses)
+    jax.block_until_ready(stacked)
+    return params, [float(x) for x in np.asarray(stacked)]
+
+
+# ---------------------------------------------------------------------------
+# weight I/O
+# ---------------------------------------------------------------------------
+
+
+def save_weights(path: str, params: Dict) -> None:
+    leaves, treedef = jax.tree_util.tree_flatten_with_path(params)
+    flat = {}
+    for kp, v in leaves:
+        name = "/".join(str(getattr(k, "key", k)) for k in kp)
+        flat[name] = np.asarray(v)
+    np.savez_compressed(path, **flat)
+
+
+def load_weights(path: str) -> Dict:
+    raw = np.load(path)
+    out: Dict = {}
+    for name in raw.files:
+        parts = name.split("/")
+        d = out
+        for p in parts[:-1]:
+            d = d.setdefault(p, {})
+        d[parts[-1]] = jnp.asarray(raw[name])
+    return out

@@ -171,6 +171,89 @@ def _frame_col_mask(layout: VIOLayout, remove_frames, dtype):
     return m.at[: 15 * layout.W].set(per_frame)
 
 
+def zero_prior(layout: VIOLayout, dtype) -> PriorBlock:
+    """An inert PriorBlock (all rows invalid) standing in for 'no prior'
+    — gives the fused solve+marginalize program ONE argument structure
+    instead of a None/Block split (each split doubles the compiled and
+    transfer-packed variants)."""
+    from d2slam_tpu.solver.state import VIOState
+
+    D = layout.D_pad
+    return PriorBlock(
+        J=jnp.zeros((D, D), dtype),
+        r=jnp.zeros((D,), dtype),
+        lin=VIOState.zeros(layout, dtype),
+        row_valid=jnp.zeros((D,), bool),
+    )
+
+
+def solve_and_marginalize(
+    layout: VIOLayout,
+    state: VIOState,
+    imu: ImuMeas,
+    proj: ProjMeas,
+    prior: PriorBlock,
+    remove_frames,      # [W] bool — frames to marginalize after solving
+    do_marg,            # [] bool — False: pass the old prior through
+    enable_fej,         # [] bool — linearize kept params at prior.lin
+    *,
+    gravity,
+    col_free,
+    proj_sqrt_info: float,
+    dep_sqrt_info: float = 20.0,
+    huber_delta: float = 1.0,
+    max_iters: int = 8,
+    landmark_param: str = "inv_dep",
+    method: str = "lm",
+    refine_steps: int = 0,
+    remove_base_mode: int = 2,
+    eig_eps: float = 1e-8,
+):
+    """ONE device program for the keyframe's whole backend step: the
+    sliding-window LM solve followed (conditionally) by marginalizing
+    ``remove_frames`` into a fresh prior. Fusing them halves the
+    host<->device round trips per keyframe — the dominant cost on a
+    remote accelerator link (utils/placement.py). Returns
+    (new_state, report, new_prior).
+
+    The FEJ linearization state is computed ON DEVICE: kept params
+    carried by the prior linearize at the prior's stored points
+    (reference replacetoPrevLinearizedPoints, prior_factor.cpp:183+),
+    everything else at post-solve values.
+    """
+    from d2slam_tpu.solver.lm import lm_solve_vio
+
+    new_state, report = lm_solve_vio(
+        layout, state, imu, proj, prior,
+        gravity=gravity, col_free=col_free,
+        proj_sqrt_info=proj_sqrt_info, dep_sqrt_info=dep_sqrt_info,
+        huber_delta=huber_delta, max_iters=max_iters,
+        landmark_param=landmark_param, method=method,
+        refine_steps=refine_steps,
+    )
+
+    # FEJ snapshot (device): prior-carried frames at prior.lin values
+    carried = prior.lin.frame_valid & enable_fej
+    marg_state = new_state._replace(
+        poses=jnp.where(carried[:, None], prior.lin.poses, new_state.poses),
+        sb=jnp.where(carried[:, None], prior.lin.sb, new_state.sb),
+    )
+    new_prior = marginalize(
+        layout, marg_state, imu, proj, prior, remove_frames,
+        gravity=gravity, proj_sqrt_info=proj_sqrt_info,
+        dep_sqrt_info=dep_sqrt_info, huber_delta=huber_delta,
+        eig_eps=eig_eps, landmark_param=landmark_param,
+        remove_base_mode=remove_base_mode,
+    )
+    out_prior = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(
+            jnp.reshape(do_marg, (1,) * a.ndim), a, b
+        ),
+        new_prior, prior,
+    )
+    return new_state, report, out_prior
+
+
 def make_pose_prior(
     layout: VIOLayout,
     state: VIOState,

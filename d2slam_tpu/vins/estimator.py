@@ -45,6 +45,8 @@ from d2slam_tpu.solver.marginalization import (
     make_pose_prior,
     marginalize,
     permute_prior_frames,
+    solve_and_marginalize,
+    zero_prior,
 )
 from d2slam_tpu.solver.state import ImuMeas, PriorBlock, ProjMeas, VIOState
 from d2slam_tpu.vins.landmark_manager import (
@@ -191,6 +193,24 @@ class D2Estimator:
                 remove_base_mode=e.remove_base_when_margin_remote,
             )
         )
+        # fused solve + window-management marginalization: ONE packed
+        # round trip per keyframe (the remote-link floor is per-call)
+        self._solve_marg = PackedAccelFn(
+            functools.partial(
+                solve_and_marginalize,
+                self.layout,
+                gravity=self.gravity,
+                proj_sqrt_info=psi,
+                dep_sqrt_info=e.depth_sqrt_inf,
+                huber_delta=e.huber_delta,
+                max_iters=e.max_solver_iters,
+                landmark_param=e.landmark_param,
+                method=e.solver_method,
+                refine_steps=e.cholesky_refine_steps,
+                remove_base_mode=e.remove_base_when_margin_remote,
+            )
+        )
+        self._fused_marg_slot = None
         # glue: preintegration is tiny — local CPU under the system
         # node's default-device flip
         self._preintegrate = jax.jit(
@@ -634,6 +654,23 @@ class D2Estimator:
             return global_frame_id(self.cfg.self_id, frame.frame_id)
         return int(frame.frame_id)
 
+    def _zero_prior(self) -> PriorBlock:
+        if getattr(self, "_zero_prior_cache", None) is None:
+            self._zero_prior_cache = zero_prior(self.layout, self.dtype)
+        return self._zero_prior_cache
+
+    def _plan_marg_slot(self) -> int:
+        """Which slot _manage_window will marginalize after this solve
+        (-1 = none) — the reference clearUselessFrames policy, decided
+        from keyframe flags alone so it can fuse into the solve
+        program. Pool-based subclasses return -1 (their per-drone
+        window sync marginalizes through the standalone path)."""
+        if (len(self.frames) >= self.layout.W
+                and self.frames[-2].is_keyframe
+                and self.solve_count > 0):
+            return 0
+        return -1
+
     def _solve_window(self):
         with self.perf.stage("build_measurements"):
             imu, proj = self._build_measurements()
@@ -669,13 +706,31 @@ class D2Estimator:
                 )
                 self.state = new_state
         else:
+            # plan the window-management marginalization NOW so it fuses
+            # into the same device program as the solve (one packed
+            # round trip per keyframe instead of two — reference
+            # clearUselessFrames decides from keyframe flags alone,
+            # which are known pre-solve)
+            marg_slot = self._plan_marg_slot()
+            remove = np.zeros(self.layout.W, bool)
+            if marg_slot >= 0:
+                remove[marg_slot] = True
+            prior_in = self.prior if self.prior is not None \
+                else self._zero_prior()
             with self.perf.stage("lm_solve"):
-                new_state, report = self._solve(
-                    self.state, imu, proj, self.prior,
-                    col_free=self._col_free()
+                new_state, report, new_prior = self._solve_marg(
+                    self.state, imu, proj, prior_in,
+                    remove, marg_slot >= 0,
+                    bool(self.cfg.estimator.enable_fej
+                         and self.prior is not None),
+                    col_free=self._col_free(),
                 )
                 jax.block_until_ready(new_state.poses)
             self.state = new_state
+            if marg_slot >= 0:
+                self.prior = new_prior
+                self.margin_count += 1
+                self._fused_marg_slot = marg_slot
         self.solve_count += 1
         self.last_report = report
         with self.perf.stage("sync_back"):
@@ -743,6 +798,11 @@ class D2Estimator:
 
     def _drop_frame(self, slot: int, marginalize_it: bool):
         frame = self.frames[slot]
+        if marginalize_it and getattr(self, "_fused_marg_slot", None) == slot:
+            # this slot was already marginalized inside the fused
+            # solve+marg program; only the host bookkeeping remains
+            self._fused_marg_slot = None
+            marginalize_it = False
         if marginalize_it and self.solve_count > 0:
             remove = jnp.zeros(self.layout.W, bool).at[slot].set(True)
             if getattr(self, "_meas_stale", False):

@@ -251,6 +251,11 @@ class SolveAllEstimator(D2Estimator):
         while len(self._drone_slots(d)) > cap:
             self._drop_frame(self._drone_slots(d)[0], marginalize_it=True)
 
+    def _plan_marg_slot(self) -> int:
+        # the pooled window trims per drone through _sync_remote_window
+        # / _trim_drone — no single pre-known slot to fuse
+        return -1
+
     def _manage_window(self) -> None:
         """Own-drone window policy (drop second-newest non-keyframe,
         else marginalize oldest — reference clearUselessFrames), applied

@@ -1,0 +1,186 @@
+"""Train the learned frontend in-container on synthetic data and
+evaluate it: SuperPoint (MagicPoint-style corners + homography
+descriptor pairs) and the compact NetVLAD head (contrastive).
+
+    python examples/train_frontend.py --steps 2000 --nv-steps 800 \
+        --out weights/
+
+Saves ``superpoint_synth.npz`` / ``netvlad_synth.npz`` and prints:
+  * detector reprojection consistency (px) across rendered 3D views
+    (the round-2 verdict metric: < 1 px target vs ~12 px random init);
+  * loop recall/precision on a rendered revisit sequence with the
+    trained NetVLAD embedding.
+"""
+import argparse
+import os
+import sys
+import time
+
+
+def eval_detector_consistency(params, cfg, n_pairs=12, seed=0):
+    """Render textured-blob scenes from two nearby viewpoints, extract
+    keypoints in both, associate via ground-truth projection, and
+    report the median reprojection inconsistency (px)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from d2slam_tpu.frontend.superpoint import superpoint_extract
+    from d2slam_tpu.utils import np_lie
+    from d2slam_tpu.utils.render import render_blobs
+
+    H, W = 240, 320
+    FX = FY = 220.0
+    CX, CY = W / 2, H / 2
+    rng = np.random.default_rng(seed)
+    extract = jax.jit(lambda im: superpoint_extract(params, im, cfg))
+    errs = []
+    for p in range(n_pairs):
+        n_lm = 80
+        ang = rng.uniform(0, 2 * np.pi, n_lm)
+        rad = rng.uniform(9.0, 13.0, n_lm)
+        lz = rng.uniform(0.5, 3.5, n_lm)
+        pts_w = np.stack([rad * np.cos(ang), rad * np.sin(ang), lz], 1)
+        inten = rng.uniform(0.5, 1.0, n_lm)
+        R_bc = np.array([[0.0, 0, 1], [-1, 0, 0], [0, -1, 0]])
+        q = np_lie.rotmat_to_quat(R_bc)
+        T0 = np.concatenate([[0.0, 0, 0], q])
+        d = rng.normal(0, 0.05, 3)
+        T1 = np.concatenate([d, q])
+        imgs = [render_blobs(pts_w, T, FX, FY, CX, CY, H, W,
+                             intensities=inten) for T in (T0, T1)]
+        outs = [extract(jnp.asarray(im, jnp.float32)) for im in imgs]
+        k0 = np.asarray(outs[0].kpts)[np.asarray(outs[0].valid)]
+        k1 = np.asarray(outs[1].kpts)[np.asarray(outs[1].valid)]
+
+        def project(T, pts):
+            R = np_lie.quat_to_rotmat(T[3:])
+            pc = (pts - T[:3]) @ R
+            return np.stack([FX * pc[:, 0] / pc[:, 2] + CX,
+                             FY * pc[:, 1] / pc[:, 2] + CY], 1), pc[:, 2]
+
+        uv0, z0 = project(T0, pts_w)
+        uv1, z1 = project(T1, pts_w)
+        vis = (z0 > 0.5) & (z1 > 0.5) \
+            & (uv0 > 8).all(1) & (uv0 < [W - 8, H - 8]).all(1) \
+            & (uv1 > 8).all(1) & (uv1 < [W - 8, H - 8]).all(1)
+        for j in np.flatnonzero(vis):
+            # detected keypoint near the gt corner in BOTH views?
+            d0 = np.linalg.norm(k0 - uv0[j], axis=1) if len(k0) else [99]
+            d1 = np.linalg.norm(k1 - uv1[j], axis=1) if len(k1) else [99]
+            i0, i1 = np.argmin(d0), np.argmin(d1)
+            if d0[i0] < 4.0 and d1[i1] < 4.0:
+                # localization offsets should AGREE across views
+                off0 = k0[i0] - uv0[j]
+                off1 = k1[i1] - uv1[j]
+                errs.append(np.linalg.norm(off0 - off1))
+    if not errs:
+        return float("nan"), 0
+    return float(np.median(errs)), len(errs)
+
+
+def eval_loop_recall(nv_params, nv_cfg, n_places=24, seed=1):
+    """Rendered revisit: each 'place' is a synthetic scene; queries are
+    homography+photometric revisits. Recall@1 with the trained
+    embedding vs the weight-free downsample baseline."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from d2slam_tpu.frontend.netvlad import netvlad_apply
+    from d2slam_tpu.frontend.train_frontend import (
+        make_batch,
+        random_homography,
+        warp_image,
+    )
+    from d2slam_tpu.runtime.system import image_embedding_gdesc
+
+    H, W = 120, 160
+    rng = np.random.default_rng(seed)
+    imgs, _ = make_batch(rng, n_places, H, W)
+    warp = jax.jit(warp_image)
+    queries = []
+    for b in range(n_places):
+        Hm = random_homography(rng, H, W, max_angle=0.3, max_trans=0.12)
+        v = np.asarray(warp(jnp.asarray(imgs[b]),
+                            jnp.asarray(Hm, jnp.float32)))
+        gain = rng.uniform(0.7, 1.3)
+        queries.append(np.clip(v * gain, 0, 1).astype(np.float32))
+    queries = np.stack(queries)
+
+    apply_j = jax.jit(lambda x: netvlad_apply(nv_params, x[..., None],
+                                              nv_cfg))
+    db = np.asarray(apply_j(jnp.asarray(imgs)))
+    q = np.asarray(apply_j(jnp.asarray(queries)))
+    hit = (np.argmax(q @ db.T, axis=1) == np.arange(n_places)).mean()
+
+    db0 = np.stack([image_embedding_gdesc(im, 1024) for im in imgs])
+    q0 = np.stack([image_embedding_gdesc(im, 1024) for im in queries])
+    hit0 = (np.argmax(q0 @ db0.T, axis=1) == np.arange(n_places)).mean()
+    return float(hit), float(hit0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--nv-steps", type=int, default=800)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--out", default="weights")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--skip-netvlad", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from d2slam_tpu.frontend.netvlad import NetVLADConfig
+    from d2slam_tpu.frontend.superpoint import SuperPointConfig
+    from d2slam_tpu.frontend.train_frontend import (
+        save_weights,
+        train_netvlad,
+        train_superpoint,
+    )
+
+    print(f"backend: {jax.default_backend()}")
+    os.makedirs(args.out, exist_ok=True)
+    sp_cfg = SuperPointConfig(max_keypoints=200, threshold=0.010,
+                              nms_radius=4)
+
+    t0 = time.time()
+    sp_params, sp_losses = train_superpoint(
+        steps=args.steps, batch=args.batch, hw=(120, 160),
+        cfg=sp_cfg, log_every=max(args.steps // 10, 1),
+    )
+    print(f"superpoint: {args.steps} steps in {time.time()-t0:.0f}s, "
+          f"loss {sp_losses[0]:.3f} -> "
+          f"{sum(sp_losses[-20:])/20:.3f}", flush=True)
+    save_weights(os.path.join(args.out, "superpoint_synth.npz"), sp_params)
+
+    med, n = eval_detector_consistency(sp_params, sp_cfg)
+    print(f"detector reprojection consistency: median {med:.2f} px "
+          f"over {n} cross-view tracks", flush=True)
+
+    if not args.skip_netvlad:
+        nv_cfg = NetVLADConfig(num_clusters=16, output_dim=1024)
+        t0 = time.time()
+        nv_params, nv_losses = train_netvlad(
+            steps=args.nv_steps, batch=args.batch, hw=(120, 160),
+            netvlad_cfg=nv_cfg,
+            log_every=max(args.nv_steps // 8, 1),
+        )
+        print(f"netvlad: {args.nv_steps} steps in {time.time()-t0:.0f}s, "
+              f"loss {nv_losses[0]:.3f} -> "
+              f"{sum(nv_losses[-20:])/20:.3f}", flush=True)
+        save_weights(os.path.join(args.out, "netvlad_synth.npz"), nv_params)
+        r1, r0 = eval_loop_recall(nv_params, nv_cfg)
+        print(f"loop recall@1 (rendered revisits): trained {r1*100:.0f}% "
+              f"vs weight-free baseline {r0*100:.0f}%", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
