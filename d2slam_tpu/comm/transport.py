@@ -180,6 +180,52 @@ class RoutedEndpoint:
 # ---------------------------------------------------------------------------
 
 
+class BufferedTransport:
+    """Wrap a transport with a reader THREAD that drains the underlying
+    socket continuously into an unbounded host queue.
+
+    A slow consumer (e.g. a SERVER node stuck in its first solver
+    compilation for tens of seconds) otherwise overflows the kernel
+    socket buffer and silently drops keyframe packets — UDP multicast
+    has no replay (the reference tolerates this as lossy-link behavior;
+    a ground station ingesting the whole swarm should not)."""
+
+    def __init__(self, inner, poll_ms: int = 50):
+        import collections
+        import threading
+
+        self._inner = inner
+        self._q = collections.deque()
+        self._cv = threading.Condition()
+        self._stop = False
+
+        def _pump():
+            while not self._stop:
+                m = inner.recv(poll_ms)
+                if m is not None:
+                    with self._cv:
+                        self._q.append(m)
+                        self._cv.notify()
+
+        self._thread = threading.Thread(target=_pump, daemon=True)
+        self._thread.start()
+
+    def send(self, channel: int, data: bytes) -> None:
+        self._inner.send(channel, data)
+
+    def recv(self, timeout_ms: int = 0):
+        with self._cv:
+            if not self._q and timeout_ms > 0:
+                self._cv.wait(timeout_ms / 1000.0)
+            return self._q.popleft() if self._q else None
+
+    def close(self) -> None:
+        self._stop = True
+        self._thread.join(timeout=2.0)
+        if hasattr(self._inner, "close"):
+            self._inner.close()
+
+
 class LocalBus:
     """In-memory multicast bus with the UDPMulticastTransport interface.
 

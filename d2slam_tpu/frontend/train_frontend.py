@@ -97,6 +97,26 @@ def synth_corners_image(rng: np.random.Generator, H: int, W: int):
     if rng.uniform() < 0.7:
         img = img.filter(ImageFilter.GaussianBlur(rng.uniform(0.3, 1.2)))
     a = np.asarray(img, np.float32) / 255.0
+    # checkerboard-saddle splats at EXACT subpixel positions — the
+    # corner appearance of utils/render.py's render_blobs (what the
+    # synthetic SLAM benchmarks feed the detector); PIL shapes alone
+    # left the net with a systematic ~2 px localization bias on them
+    if rng.uniform() < 0.6:
+        for _ in range(rng.integers(4, 12)):
+            x, y = rng.uniform(7, W - 8), rng.uniform(7, H - 8)
+            sig = rng.uniform(1.0, 2.2)
+            amp = rng.uniform(0.4, 1.0)
+            r = int(np.ceil(3 * sig))
+            x0, y0 = int(round(x)), int(round(y))
+            ys2, xs2 = np.mgrid[y0 - r:y0 + r + 1, x0 - r:x0 + r + 1]
+            dxs = (xs2 - x) / sig
+            dys = (ys2 - y) / sig
+            env = np.exp(-(dxs ** 2 + dys ** 2) / 4.0)
+            a[y0 - r:y0 + r + 1, x0 - r:x0 + r + 1] += (
+                amp * 0.5 * (np.tanh(2 * dxs) * np.tanh(2 * dys) + 1.0)
+                * env
+            )
+            corners.append([x, y])
     a = a + rng.normal(0, rng.uniform(0.01, 0.05), a.shape)
     a = np.clip(a, 0.0, 1.0)
     c = np.asarray(corners, np.float64).reshape(-1, 2)

@@ -124,6 +124,13 @@ class SystemConfig:
     enable_superglue_local: bool = False
     enable_superglue_remote: bool = False
     superglue_img_hw: tuple = (480, 640)
+    # trained frontend weights (npz from examples/train_frontend.py or
+    # converted reference checkpoints): SuperPoint weights replace the
+    # sp_params constructor arg; NetVLAD weights replace the weight-free
+    # downsample global descriptor with the learned embedding
+    # (reference: superpoint_model_path / netvlad_model_path YAML keys)
+    superpoint_weights: str = ""
+    netvlad_weights: str = ""
 
 
 def image_embedding_gdesc(img: np.ndarray, dim: int = 1024) -> np.ndarray:
@@ -208,6 +215,44 @@ class D2SLAMSystem:
             from d2slam_tpu.frontend.superpoint import SuperPointConfig
 
             sp_cfg = SuperPointConfig(max_keypoints=200, threshold=1e-4)
+
+        # trained weights from config (examples/train_frontend.py npz)
+        if sys_cfg.superpoint_weights and sp_params is None:
+            from d2slam_tpu.frontend.train_frontend import load_weights
+
+            sp_params = load_weights(sys_cfg.superpoint_weights)
+        if sys_cfg.netvlad_weights and gdesc_fn is None:
+            import jax as _jax
+
+            from d2slam_tpu.frontend.netvlad import (
+                NetVLADConfig,
+                netvlad_apply,
+            )
+            from d2slam_tpu.frontend.train_frontend import load_weights
+            from d2slam_tpu.utils.placement import PackedAccelFn
+
+            nv_params = load_weights(sys_cfg.netvlad_weights)
+            out_dim = int(nv_params["vlad_assign"]["w"].shape[-1]) * 64
+            nv_cfg = NetVLADConfig(
+                num_clusters=out_dim // 64, output_dim=out_dim,
+            )
+            if out_dim != sys_cfg.gdesc_dim:
+                raise ValueError(
+                    f"netvlad weights produce {out_dim}-d descriptors "
+                    f"but gdesc_dim={sys_cfg.gdesc_dim}"
+                )
+            nv_packed = PackedAccelFn(
+                lambda p, img: netvlad_apply(
+                    p, img.astype(_jax.numpy.float32)[None, ..., None]
+                    / 255.0, nv_cfg,
+                )[0],
+                device_args=(nv_params,),
+            )
+            from d2slam_tpu.frontend.tracker import _img_u8
+
+            gdesc_fn = lambda img: np.asarray(  # noqa: E731
+                nv_packed(_img_u8(img)), np.float32
+            )
 
         # config-driven SuperGlue matchers (reference
         # enable_superglue_local/remote; explicit matcher_fn args win)
