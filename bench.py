@@ -137,8 +137,18 @@ def bench_system():
     sys_cfg = SystemConfig(drone_id=0, pgo_every_n_kf=8)
     cams = [PinholeParams.make(FX, FY, CX, CY, dtype=jnp.float32)
             for _ in range(2)]
-    sp_cfg = SuperPointConfig(max_keypoints=200, threshold=1e-4)
-    sp_params = superpoint_init(jax.random.PRNGKey(0), sp_cfg)
+    import os
+
+    wpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "weights", "superpoint_synth.npz")
+    if os.path.exists(wpath):  # trained in-container (train_frontend)
+        from d2slam_tpu.frontend.train_frontend import load_weights
+
+        sp_params = load_weights(wpath)
+        sp_cfg = SuperPointConfig(max_keypoints=200, threshold=0.010)
+    else:
+        sp_cfg = SuperPointConfig(max_keypoints=200, threshold=1e-4)
+        sp_params = superpoint_init(jax.random.PRNGKey(0), sp_cfg)
     system = D2SLAMSystem(cfg, sys_cfg, sim.ext, cams,
                           sp_params=sp_params, sp_cfg=sp_cfg,
                           frame_rate=sim.frame_hz)
