@@ -82,10 +82,10 @@ def main():
                                           nv_cfg))
     bench("netvlad global desc", nv, img_a)
 
-    mt = jax.jit(lambda da, db, va, vb: match_descriptors(
-        da, db, valid_a=va, valid_b=vb))
-    m = bench("knn ratio matching", mt, out_a.desc, out_b.desc,
-              out_a.valid, out_b.valid)
+    # match_descriptors is already a shape-bucketed jitted wrapper —
+    # calling it under an outer jit would trace its host-side padding
+    m = bench("knn ratio matching", match_descriptors,
+              out_a.desc, out_b.desc, out_a.valid, out_b.valid)
 
     sg_cfg = SuperGlueConfig()
     sg_params = superglue_init(jax.random.PRNGKey(2), sg_cfg)

@@ -136,3 +136,4 @@ def test_pipeline_drop_oldest_and_error_surfacing():
     pipe2.input_stereo(0.0, np.zeros((4, 4)), np.zeros((4, 4)))
     with pytest.raises(RuntimeError, match="boom"):
         pipe2.drain()
+    pipe2.close()  # leave no daemon thread blocked at interpreter exit
