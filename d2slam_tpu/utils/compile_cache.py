@@ -45,9 +45,21 @@ def enable_compilation_cache(path: str | None = None,
                              min_compile_secs: float = 0.5) -> str:
     """Turn on JAX's persistent compilation cache (per-host-CPU
     directory unless ``path`` is given). Safe to call more than once;
-    returns the cache directory."""
+    returns the cache directory (empty string when skipped).
+
+    CPU-only processes SKIP persistent caching: XLA:CPU AOT
+    executables intermittently SIGSEGV on deserialization in this jax
+    version (observed twice in compilation_cache.get_executable_and_
+    time during full-suite runs, even same-host write/read — the
+    cpu_aot_loader's machine-feature mismatch warning is the benign
+    tail of the same defect). Accelerator sessions keep the cache
+    (remote compiles are ~10-200 s/program and their executables don't
+    go through the CPU AOT loader). Force with D2_COMPILE_CACHE=1."""
     import jax
 
+    cpu_only = all(d.platform == "cpu" for d in jax.devices())
+    if cpu_only and not os.environ.get("D2_COMPILE_CACHE"):
+        return ""
     if path is None:
         path = os.path.join(_BASE, _host_tag())
     os.makedirs(path, exist_ok=True)
