@@ -195,6 +195,7 @@ def preintegrate(
     )
 
 
+@jax.jit  # host-rate path: eager scan tracing costs ~100 ms/call
 def imu_propagate_pose(pose, vel, ba, bg, dts, accs, gyrs, mask, gravity):
     """Euler-propagate odometry through raw IMU samples.
 

@@ -287,6 +287,10 @@ class TransportDPGO:
     def __init__(self, transport, self_id: int,
                  cfg: DPGOTransportConfig = DPGOTransportConfig(),
                  ref_frame_id: int = 0):
+        # capacity growth (_grow_poses / add_edge) mutates cfg.max_*;
+        # copy per instance so robots sharing one cfg object don't
+        # inherit each other's grown capacities without reallocating
+        cfg = dataclasses.replace(cfg)
         self.t = transport
         self.self_id = self_id
         self.cfg = cfg

