@@ -69,25 +69,68 @@ def _time_ms(fn, args, n=50) -> float:
     return (time.perf_counter() - t0) / n * 1000.0
 
 
+def _cost_flops_bytes(jitted, *args):
+    try:
+        an = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(an, (list, tuple)):
+            an = an[0]
+        return float(an.get("flops", 0.0)), float(
+            an.get("bytes accessed", 0.0))
+    except Exception:
+        return 0.0, 0.0
+
+
 def bench_ba():
-    from __graft_entry__ import entry
+    """Sliding-window BA solve latency + batched throughput.
+
+    Flop/byte accounting is SCAN-AWARE: XLA cost_analysis counts a
+    lax.scan body once regardless of trip count (round-3 reported MFU
+    was ~8x understated), so per-iteration cost is recovered by
+    differencing 1- vs 2-iteration lowerings and extrapolating to the
+    measured 8 iterations.
+    """
+    import functools
+
+    from __graft_entry__ import _scene_and_solver, entry
+    from d2slam_tpu.solver import lm_solve_vio
+    from d2slam_tpu.utils.synthetic import default_col_free
 
     step, (state, imu, proj) = entry()
     solve = jax.jit(step)
     ms = _time_ms(solve, (state, imu, proj), n=100)
-    flops = _cost_flops(solve, state, imu, proj)
+
+    # honest 8-iteration flops/bytes by scan differencing
+    layout, scene, gt, _ = _scene_and_solver(state.poses.dtype)
+    col_free = default_col_free(layout, gt)
+
+    def solver_n(it):
+        s = functools.partial(
+            lm_solve_vio, layout, gravity=scene["gravity"],
+            col_free=col_free, proj_sqrt_info=460.0 / 1.5, max_iters=it,
+        )
+        return jax.jit(lambda st, i, p: s(st, i, p, None)[1].final_cost)
+
+    f1, b1 = _cost_flops_bytes(solver_n(1), state, imu, proj)
+    f2, b2 = _cost_flops_bytes(solver_n(2), state, imu, proj)
+    flops = f1 + 7 * (f2 - f1)
+    bytes8 = b1 + 7 * (b2 - b1)
+
     # batched throughput (the SERVER / many-drone ingestion story): one
-    # vmapped program solving B independent sliding windows amortizes
-    # per-launch latency. B=16 is the measured sweet spot on v5e
-    # (larger batches go bandwidth-bound on the row matrices).
-    B = 16
-    batched = jax.jit(jax.vmap(step))
-    args_b = jax.tree_util.tree_map(
-        lambda x: jnp.broadcast_to(x, (B,) + x.shape), (state, imu, proj)
-    )
-    ms_b = _time_ms(lambda a: batched(*a), (args_b,), n=30)
-    flops_b = _cost_flops(batched, *args_b)
-    return ms, flops, state.poses.dtype, ms_b, B, flops_b
+    # vmapped program solving B independent sliding windows; sweep B
+    # and report the best (B=128 is the measured sweet spot on v5e
+    # with the block-compact normal assembly)
+    best = None
+    for B in (16, 128):
+        batched = jax.jit(jax.vmap(step))
+        args_b = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (B,) + x.shape),
+            (state, imu, proj),
+        )
+        ms_b = _time_ms(lambda a: batched(*a), (args_b,), n=20)
+        if best is None or ms_b / B < best[0] / best[1]:
+            best = (ms_b, B)
+    ms_b, B = best
+    return ms, flops, bytes8, state.poses.dtype, ms_b, B, flops * B
 
 
 def bench_system():
@@ -335,7 +378,8 @@ def main():
 
     enable_compilation_cache()  # TRT-engine-cache equivalent: warm reruns
 
-    ba_ms, ba_fl, ba_dtype, ba_b_ms, ba_b, ba_b_fl = bench_ba()
+    (ba_ms, ba_fl, ba_by, ba_dtype, ba_b_ms, ba_b,
+     ba_b_fl) = bench_ba()
     sp_ms, sp_fl, sp4_ms, sp_bf16_ms, sp2_ms = bench_superpoint()
     hn_ms, hn_fl = bench_hitnet()
     pg_ms, pg_fl, pgd_ms, pgd_fl = bench_pgo1k()
@@ -383,10 +427,18 @@ def main():
             "hitnet_ms": round(hn_ms, 3),
             "pgo1k_ms": round(pg_ms, 3),
             "pgo1k_dense_ms": round(pgd_ms, 3),
+            # scan-aware accounting (bench_ba docstring): flops count
+            # all 8 LM iterations, not the single scan-body XLA reports
             "ba_mfu": mfu(ba_fl, ba_ms, peak_ba),
             "ba_batch_mfu": mfu(ba_b_fl, ba_b_ms, peak_ba),
             "ba_gflops": gflops(ba_fl, ba_ms),
             "ba_batch_gflops": gflops(ba_b_fl, ba_b_ms),
+            # achieved HBM bandwidth of the batched solve (counted
+            # bytes x B / time) — the solve is bandwidth/latency-bound;
+            # this is the honest utilization axis for it
+            "ba_batch_gbps": round(
+                ba_by * ba_b / (ba_b_ms * 1e-3) / 1e9, 1)
+            if ba_b_ms > 0 else 0.0,
             "superpoint_mfu": mfu(sp_fl, sp_ms, peak32),
             "hitnet_mfu": mfu(hn_fl, hn_ms, peak32),
             "pgo1k_mfu": mfu(pg_fl, pg_ms, peak32),

@@ -107,17 +107,15 @@ def _log_sinkhorn(scores, dustbin, iters):
     return aug + u[:, None] + v[None, :]
 
 
-def superglue_match(
+def superglue_logP(
     params: Dict,
     kpts_a, desc_a, scores_a, valid_a,
     kpts_b, desc_b, scores_b, valid_b,
     img_hw: Tuple[int, int],
     cfg: SuperGlueConfig = SuperGlueConfig(),
 ):
-    """Match two keypoint sets. Returns (idx_b [N] int32, ok [N] bool).
-
-    kpts: [N, 2] pixels; desc: [N, D] L2-normalized; scores: [N].
-    """
+    """Full log-assignment matrix [(N+1), (M+1)] incl. dustbin row/col
+    (the training loss needs it; superglue_match thresholds it)."""
     H, W = img_hw
     scale = jnp.asarray([W, H], desc_a.dtype)
 
@@ -143,8 +141,26 @@ def superglue_match(
     fb = _dense(xb, params["final"])
     sim = fa @ fb.T / jnp.sqrt(fa.shape[-1])
     sim = jnp.where(valid_a[:, None] & valid_b[None, :], sim, -1e9)
-    P = _log_sinkhorn(sim, params["dustbin"], cfg.sinkhorn_iters)
-    N, M = sim.shape
+    return _log_sinkhorn(sim, params["dustbin"], cfg.sinkhorn_iters)
+
+
+def superglue_match(
+    params: Dict,
+    kpts_a, desc_a, scores_a, valid_a,
+    kpts_b, desc_b, scores_b, valid_b,
+    img_hw: Tuple[int, int],
+    cfg: SuperGlueConfig = SuperGlueConfig(),
+):
+    """Match two keypoint sets. Returns (idx_b [N] int32, ok [N] bool).
+
+    kpts: [N, 2] pixels; desc: [N, D] L2-normalized; scores: [N].
+    """
+    P = superglue_logP(
+        params, kpts_a, desc_a, scores_a, valid_a,
+        kpts_b, desc_b, scores_b, valid_b, img_hw, cfg,
+    )
+    N = kpts_a.shape[0]
+    M = kpts_b.shape[0]
     Pm = jnp.exp(P[:N, :M])
     idx = jnp.argmax(Pm, axis=1).astype(jnp.int32)
     pmax = jnp.max(Pm, axis=1)

@@ -32,6 +32,7 @@ import numpy as np
 
 from d2slam_tpu.frontend.superpoint import (
     SuperPointConfig,
+    superpoint_extract,
     superpoint_init,
     superpoint_raw,
 )
@@ -396,6 +397,171 @@ def train_netvlad(
     stacked = jnp.stack(losses)
     jax.block_until_ready(stacked)
     return params, [float(x) for x in np.asarray(stacked)]
+
+
+# ---------------------------------------------------------------------------
+# SuperGlue matcher training (frozen SuperPoint features)
+# ---------------------------------------------------------------------------
+
+
+def _gt_assignment(kptsA, validA, kptsB, validB, Hinv, px_thresh=3.0):
+    """Ground-truth A->B match index from the homography (the warp's
+    A-pixels -> B-pixels map, same convention as train_superpoint's
+    label warping). Returns gt [N] int32 (index into B, or M for the
+    dustbin)."""
+    N = kptsA.shape[0]
+    M = kptsB.shape[0]
+    ph = jnp.concatenate([kptsA, jnp.ones((N, 1), kptsA.dtype)], axis=1)
+    dst = ph @ Hinv.T
+    pB = dst[:, :2] / jnp.maximum(dst[:, 2:3], 1e-9)
+    d2 = jnp.sum((pB[:, None, :] - kptsB[None, :, :]) ** 2, axis=-1)
+    d2 = jnp.where(validB[None, :], d2, 1e12)
+    j = jnp.argmin(d2, axis=1)
+    dmin = jnp.min(d2, axis=1)
+    matched = validA & (dmin < px_thresh ** 2)
+    return jnp.where(matched, j, M).astype(jnp.int32), matched
+
+
+def train_superglue(
+    steps: int = 1200,
+    batch: int = 8,
+    hw: Tuple[int, int] = (120, 160),
+    lr: float = 1e-3,
+    seed: int = 2,
+    sp_params: Dict | None = None,
+    sp_cfg: "SuperPointConfig | None" = None,
+    sg_cfg=None,
+    n_kpts: int = 96,
+    log_every: int = 100,
+):
+    """Train a compact SuperGlue on synthetic homography pairs with
+    FROZEN trained-SuperPoint features; ground-truth correspondences
+    come from the homography (round-3 verdict item 6 — the reference
+    ships a trained matcher, superglue_onnx.cpp; a random-init one
+    matches worse than kNN). Returns (sg_params, losses)."""
+    import optax
+
+    from d2slam_tpu.frontend.superglue import (
+        SuperGlueConfig,
+        superglue_init,
+        superglue_logP,
+    )
+
+    H, W = hw
+    if sg_cfg is None:
+        sg_cfg = SuperGlueConfig(num_layers=3, num_heads=4,
+                                 sinkhorn_iters=20)
+    if sp_cfg is None:
+        sp_cfg = SuperPointConfig(max_keypoints=n_kpts, threshold=0.010,
+                                  nms_radius=4)
+    else:
+        import dataclasses as _dc
+
+        sp_cfg = _dc.replace(sp_cfg, max_keypoints=n_kpts)
+    assert sp_params is not None, "train_superglue needs trained SP weights"
+
+    rng = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(seed)
+    sg = superglue_init(key, sg_cfg)
+    opt = optax.adam(lr)
+    opt_state = opt.init(sg)
+
+    # ---- precompute a device-resident pair bank with the FROZEN
+    # SuperPoint (features never change, so extraction runs once;
+    # training steps then upload only batch indices) ----
+    n_pairs = 256
+
+    @jax.jit
+    def build_bank(imgs, Hmats):
+        def one(img, Hmat):
+            warped = warp_image(img, Hmat)
+            a = superpoint_extract(sp_params, img, sp_cfg)
+            b = superpoint_extract(sp_params, warped, sp_cfg)
+            gt, _ = _gt_assignment(a.kpts, a.valid, b.kpts, b.valid,
+                                   jnp.linalg.inv(Hmat))
+            return a, b, gt
+
+        return jax.vmap(one)(imgs, Hmats)
+
+    banks = []
+    for c in range(0, n_pairs, 32):  # chunked: bounds peak memory
+        imgs, _ = make_batch(rng, 32, H, W)
+        Hms = np.stack(
+            [random_homography(rng, H, W) for _ in range(32)]
+        ).astype(np.float32)
+        banks.append(build_bank(jnp.asarray(imgs), jnp.asarray(Hms)))
+    bank = jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs), *banks
+    )
+
+    def pair_loss(p, a, b, gt):
+        P = superglue_logP(
+            p, a.kpts, a.desc, a.scores, a.valid,
+            b.kpts, b.desc, b.scores, b.valid, (H, W), sg_cfg,
+        )
+        # NLL of the optimal-transport assignment at the GT matches;
+        # unmatched valid keypoints supervise the dustbin column
+        n = a.kpts.shape[0]
+        row = P[jnp.arange(n), gt]
+        w = a.valid.astype(P.dtype)
+        return -jnp.sum(row * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+    def loss_fn(p, sel):
+        a, b, gt = jax.tree_util.tree_map(lambda x: x[sel], bank)
+        return jnp.mean(jax.vmap(
+            lambda aa, bb, g: pair_loss(p, aa, bb, g)
+        )(a, b, gt))
+
+    @jax.jit
+    def step_fn(p, o, sel):
+        l, g = jax.value_and_grad(loss_fn)(p, sel)
+        up, o2 = opt.update(g, o)
+        return optax.apply_updates(p, up), o2, l
+
+    losses = []
+    for it in range(steps):
+        sel = jnp.asarray(rng.integers(0, n_pairs, batch), jnp.int32)
+        sg, opt_state, l = step_fn(sg, opt_state, sel)
+        losses.append(l)
+        if log_every and it % log_every == 0:
+            jax.block_until_ready(l)
+            print(f"  sg step {it}: loss {float(l):.4f}", flush=True)
+    stacked = jnp.stack(losses)
+    jax.block_until_ready(stacked)
+    return sg, [float(x) for x in np.asarray(stacked)]
+
+
+def eval_matcher_pr(match_fn, sp_params, sp_cfg, hw, n_pairs=20,
+                    seed=123, px_thresh=3.0):
+    """Precision/recall of a matcher on held-out homography pairs.
+
+    match_fn(a: SuperPointOutput, b, Hmat_unused) -> (idx [N], ok [N]).
+    Returns (precision, recall, n_correct, n_pred, n_gt)."""
+    H, W = hw
+    rng = np.random.default_rng(seed)
+    tp = pred = gt_n = 0
+    for _ in range(n_pairs):
+        imgs, _ = make_batch(rng, 1, H, W)
+        Hm = random_homography(rng, H, W).astype(np.float32)
+        img = jnp.asarray(imgs[0])
+        warped = warp_image(img, jnp.asarray(Hm))
+        a = superpoint_extract(sp_params, img, sp_cfg)
+        b = superpoint_extract(sp_params, warped, sp_cfg)
+        gt, matched = _gt_assignment(
+            a.kpts, a.valid, b.kpts, b.valid,
+            jnp.linalg.inv(jnp.asarray(Hm)), px_thresh,
+        )
+        idx, ok = match_fn(a, b)
+        idx = np.asarray(idx)
+        ok = np.asarray(ok) & np.asarray(a.valid)
+        gt = np.asarray(gt)
+        matched = np.asarray(matched)
+        tp += int(np.sum(ok & matched & (idx == gt)))
+        pred += int(np.sum(ok))
+        gt_n += int(np.sum(matched))
+    prec = tp / max(pred, 1)
+    rec = tp / max(gt_n, 1)
+    return prec, rec, tp, pred, gt_n
 
 
 # ---------------------------------------------------------------------------

@@ -137,6 +137,9 @@ class SystemConfig:
     # (reference: superpoint_model_path / netvlad_model_path YAML keys)
     superpoint_weights: str = ""
     netvlad_weights: str = ""
+    # trained compact SuperGlue (examples/train_frontend.py --sg-steps);
+    # without it, enabling SuperGlue warns and runs random-init
+    superglue_weights: str = ""
 
 
 def image_embedding_gdesc(img: np.ndarray, dim: int = 1024) -> np.ndarray:
@@ -270,11 +273,30 @@ class D2SLAMSystem:
                 superglue_init,
             )
 
+            if superglue_params is None and sys_cfg.superglue_weights:
+                from d2slam_tpu.frontend.train_frontend import load_weights
+
+                superglue_params = load_weights(sys_cfg.superglue_weights)
+                if superglue_cfg is None:
+                    # compact in-container recipe (train_superglue)
+                    superglue_cfg = SuperGlueConfig(
+                        num_layers=3, num_heads=4, sinkhorn_iters=20
+                    )
             if superglue_cfg is None:
                 superglue_cfg = SuperGlueConfig()
             if superglue_params is None:
+                import warnings
+
                 import jax as _jax
 
+                warnings.warn(
+                    "enable_superglue_local/remote is set but no "
+                    "trained weights were given (superglue_params / "
+                    "superglue_weights): running RANDOM-INIT SuperGlue "
+                    "— matching quality will be WORSE than the default "
+                    "kNN matcher; train with examples/train_frontend.py "
+                    "--sg-steps or unset the flag"
+                )
                 superglue_params = superglue_init(
                     _jax.random.PRNGKey(0), superglue_cfg
                 )

@@ -18,15 +18,12 @@ import jax.numpy as jnp
 
 from d2slam_tpu.geometry.lie import pose_boxplus
 from d2slam_tpu.solver.layout import VIOLayout
-from d2slam_tpu.solver.state import ImuMeas, PriorBlock, ProjMeas, VIOState
-from d2slam_tpu.solver.vio_assembly import (
-    RowBlock,
-    assemble_full_rows,
-    build_imu_rows,
-    build_prior_rows,
-    build_proj_rows,
-    build_proj_rows_pos3d,
+from d2slam_tpu.solver.normal_assembly import (
+    Normal,
+    build_window_normal,
+    compact_placement,
 )
+from d2slam_tpu.solver.state import ImuMeas, PriorBlock, ProjMeas, VIOState
 
 
 class SolveReport(NamedTuple):
@@ -100,32 +97,23 @@ def lm_solve_vio(
     """
     dtype = state.poses.dtype
     D = layout.D_pad
-    L = layout.L
     col_free_f = col_free.astype(dtype)
 
     pos3d = landmark_param == "pos3d"
-    build_proj = build_proj_rows_pos3d if pos3d else build_proj_rows
 
-    def build(s: VIOState) -> RowBlock:
-        blocks = [
-            build_imu_rows(layout, s, imu, gravity),
-            build_proj(layout, s, proj, proj_sqrt_info, dep_sqrt_info, huber_delta),
-        ]
-        if prior is not None:
-            blocks.append(build_prior_rows(layout, s, prior))
-        if consensus is not None:
-            from d2slam_tpu.parallel.consensus import build_consensus_rows
+    def build(s: VIOState) -> Normal:
+        # block-scatter assembly (normal_assembly.py): the normal
+        # equations are formed directly from compact per-factor blocks
+        # — no [N, D] row matrix, ~25x less HBM traffic per iteration
+        return build_window_normal(
+            layout, s, imu, proj, prior,
+            gravity=gravity, proj_sqrt_info=proj_sqrt_info,
+            dep_sqrt_info=dep_sqrt_info, huber_delta=huber_delta,
+            landmark_param=landmark_param, consensus=consensus,
+        )
 
-            ref_poses, tilde, active, rho_T, rho_theta = consensus
-            blocks.append(
-                build_consensus_rows(
-                    layout, s, ref_poses, tilde, active, rho_T, rho_theta
-                )
-            )
-        return assemble_full_rows(tuple(blocks))
-
-    def total_cost(rows: RowBlock):
-        return jnp.sum(rows.cost)
+    def total_cost(n: Normal):
+        return n.cost
 
     def _chol_solve_neg(H_red, g_red):
         """dx = -H_red^{-1} g_red with optional iterative refinement
@@ -137,65 +125,69 @@ def lm_solve_vio(
             dx = dx - jax.scipy.linalg.cho_solve(chol, res)
         return dx
 
-    def reduce_system(rows: RowBlock, lam):
+    # Hpl lives in the compact G = 6W+6C+1 pose space (Normal
+    # docstring); the Schur product happens there and embeds into the
+    # global layout through the constant placement P — 2.4x less HBM
+    # traffic on the [L, *] tensors than a global-layout Hpl
+    P79, _ = compact_placement(layout, jnp.float32)
+    P79 = P79.astype(dtype)
+
+    def reduce_system(n: Normal, lam):
         """Schur-eliminate landmarks; returns the reduced camera system
         (H_red, g_red) and a ``back(dx) -> dlm`` closure."""
-        J = rows.J * col_free_f[None, :]
-        H = J.T @ J
-        g = J.T @ rows.r
+        cmask = col_free_f[:, None] * col_free_f[None, :]
+        H = n.H * cmask
+        g = n.g * col_free_f
+        cf79 = P79 @ col_free_f  # compact-space free mask
         eps = jnp.asarray(1e-8, dtype)
         H_d = H + lam * jnp.diag(jnp.diag(H)) + eps * jnp.eye(D, dtype=dtype)
         # identity on fixed columns keeps Cholesky PD
         H_d = H_d + jnp.diag(1.0 - col_free_f)
-        # landmark columns — segment sums as one-hot matmuls (scatters
-        # serialize on TPU; these are GEMMs)
-        onehot = (
-            rows.lm[:, None] == jnp.arange(L, dtype=jnp.int32)[None, :]
-        ).astype(dtype)  # [N, L]
 
         if pos3d:
             # 3x3 block Schur over world-position landmarks
-            Jl = rows.Jl  # [N, 3]
-            hll = jnp.einsum("nl,ni,nj->lij", onehot, Jl, Jl)  # [L,3,3]
-            gl = jnp.einsum("nl,ni,n->li", onehot, Jl, rows.r)
-            Hpl = jnp.einsum("nl,ni,nd->lid", onehot, Jl, J)  # [L,3,D]
+            hll = n.hll
+            gl = n.gl
+            Hpl = n.Hpl * cf79[None, None, :]  # [L,3,G]
             diag = jnp.einsum("lii->li", hll)
             hll_d = hll + jax.vmap(jnp.diag)(lam * diag + eps)
             inv3 = jnp.linalg.inv(hll_d)  # [L,3,3]
-            H_red = H_d - jnp.einsum("lid,lij,lje->de", Hpl, inv3, Hpl)
-            g_red = g - jnp.einsum("lid,lij,lj->d", Hpl, inv3, gl)
+            Sc = jnp.einsum("lig,lij,ljh->gh", Hpl, inv3, Hpl)
+            H_red = H_d - P79.T @ (Sc @ P79)
+            g_red = g - jnp.einsum("lig,lij,lj->g", Hpl, inv3, gl) @ P79
 
             def back(dx):
                 return -jnp.einsum(
                     "lij,lj->li", inv3,
-                    gl + jnp.einsum("lid,d->li", Hpl, dx),
+                    gl + jnp.einsum("lig,g->li", Hpl, P79 @ dx),
                 )
 
             return H_red, g_red, back
 
-        hll = (rows.Jl * rows.Jl) @ onehot
-        gl = (rows.Jl * rows.r) @ onehot
-        Hpl = onehot.T @ (J * rows.Jl[:, None])
+        hll = n.hll
+        gl = n.gl
+        Hpl = n.Hpl * cf79[None, :]  # [L, G]
 
         hll_d = hll * (1.0 + lam) + eps
-        H_red = H_d - (Hpl / hll_d[:, None]).T @ Hpl
-        g_red = g - Hpl.T @ (gl / hll_d)
+        Sc = (Hpl / hll_d[:, None]).T @ Hpl  # [G, G]
+        H_red = H_d - P79.T @ (Sc @ P79)
+        g_red = g - (Hpl.T @ (gl / hll_d)) @ P79
 
         def back(dx):
-            return -(gl + Hpl @ dx) / hll_d
+            return -(gl + Hpl @ (P79 @ dx)) / hll_d
 
         return H_red, g_red, back
 
-    def solve_step(rows: RowBlock, lam):
-        H_red, g_red, back = reduce_system(rows, lam)
+    def solve_step(n: Normal, lam):
+        H_red, g_red, back = reduce_system(n, lam)
         dx = _chol_solve_neg(H_red, g_red) * col_free_f
         return dx, back(dx)
 
-    def dogleg_step(rows: RowBlock, radius):
+    def dogleg_step(n: Normal, radius):
         """Powell dogleg on the reduced camera system (trust region in
         the tangent space; Ceres DOGLEG equivalent). Returns the step
         and its predicted cost reduction."""
-        H_red, g_red, back = reduce_system(rows, jnp.zeros((), dtype))
+        H_red, g_red, back = reduce_system(n, jnp.zeros((), dtype))
         g_m = g_red * col_free_f
         dx_gn = _chol_solve_neg(H_red, g_red) * col_free_f
         gHg = g_m @ (H_red @ g_m)
@@ -221,34 +213,25 @@ def lm_solve_vio(
         pred = -(g_m @ dx) - 0.5 * dx @ (H_red @ dx)
         return dx, back(dx), pred
 
-    rows0 = build(state)
-    # row landmark indices/masks come from the (constant) measurement
-    # arrays — keep them OUT of the scan carry (under shard_map they are
-    # "replicated" while the state-derived arrays are device-varying,
-    # and mixed carry types trip the scan type check)
-    lm_idx, lm_used = rows0.lm, rows0.lm_used
-
-    def as_block(J, r, Jl, cost):
-        return RowBlock(J=J, r=r, Jl=Jl, lm=lm_idx, lm_used=lm_used, cost=cost)
+    n0 = build(state)
 
     def iteration(carry, _):
-        # carry the current linearization so each LM iteration does
-        # exactly ONE build: the candidate's rows double as the next
-        # iteration's linearization when the step is accepted
-        s, (J, r, Jl, cost_arr), cost, lam, accepted, change = carry
+        # carry the current linearization (Normal) so each LM iteration
+        # does exactly ONE build: the candidate's normal equations
+        # double as the next iteration's linearization when accepted
+        s, n, cost, lam, accepted, change = carry
         if method == "dogleg":
             # lam carries the trust radius
-            dx, dlm, pred = dogleg_step(as_block(J, r, Jl, cost_arr), lam)
+            dx, dlm, pred = dogleg_step(n, lam)
         else:
-            dx, dlm = solve_step(as_block(J, r, Jl, cost_arr), lam)
+            dx, dlm = solve_step(n, lam)
         cand = _apply_delta(layout, s, dx, dlm)
-        rc = build(cand)
-        cand_cost = total_cost(rc)
+        nc = build(cand)
+        cand_cost = total_cost(nc)
         accept = cand_cost < cost
         sel = lambda a, b: jnp.where(accept, a, b)
         new_s = jax.tree_util.tree_map(sel, cand, s)
-        new_rows = (sel(rc.J, J), sel(rc.r, r), sel(rc.Jl, Jl),
-                    sel(rc.cost, cost_arr))
+        new_n = jax.tree_util.tree_map(sel, nc, n)
         new_cost = jnp.where(accept, cand_cost, cost)
         if method == "dogleg":
             rho = (cost - cand_cost) / jnp.maximum(
@@ -266,10 +249,10 @@ def lm_solve_vio(
         step_norm = jnp.sqrt(jnp.sum(dx * dx) + jnp.sum(dlm * dlm))
         new_change = change + jnp.where(accept, step_norm, 0.0)
         return (
-            new_s, new_rows, new_cost, new_lam, accepted + accept, new_change
+            new_s, new_n, new_cost, new_lam, accepted + accept, new_change
         ), None
 
-    cost0 = total_cost(rows0)
+    cost0 = total_cost(n0)
     # derive the scalar carries from the state so they share its
     # device-varying type under shard_map (a plain constant would be
     # "replicated" and trip the scan carry type check on the robot mesh)
@@ -279,8 +262,7 @@ def lm_solve_vio(
     ) + vzero
     (final_state, _, final_cost, _, accepted, change), _ = jax.lax.scan(
         iteration,
-        (state, (rows0.J, rows0.r, rows0.Jl, rows0.cost), cost0, lam0,
-         vzero.astype(jnp.int32), vzero),
+        (state, n0, cost0, lam0, vzero.astype(jnp.int32), vzero),
         None,
         length=max_iters,
     )

@@ -37,13 +37,8 @@ import jax
 import jax.numpy as jnp
 
 from d2slam_tpu.solver.layout import VIOLayout
+from d2slam_tpu.solver.normal_assembly import build_window_normal
 from d2slam_tpu.solver.state import ImuMeas, PriorBlock, ProjMeas, VIOState
-from d2slam_tpu.solver.vio_assembly import (
-    assemble_full_rows,
-    build_imu_rows,
-    build_prior_rows,
-    build_proj_rows,
-)
 
 
 def marginalize(
@@ -88,21 +83,19 @@ def marginalize(
     proj_sel = proj._replace(valid=proj.valid & proj_touch)
     imu_sel = imu._replace(valid=imu.valid & imu_touch)
 
-    from d2slam_tpu.solver.vio_assembly import build_proj_rows_pos3d
+    # block-compact normal-equation assembly (normal_assembly.py): the
+    # same sums the dense-row path produced, without the [N, D] rows
+    from d2slam_tpu.solver.normal_assembly import compact_placement
 
-    blocks = [
-        build_imu_rows(layout, state, imu_sel, gravity),
-        (build_proj_rows_pos3d if pos3d else build_proj_rows)(
-            layout, state, proj_sel, proj_sqrt_info, dep_sqrt_info, huber_delta
-        ),
-    ]
-    if prior is not None:
-        blocks.append(build_prior_rows(layout, state, prior))
-    rows = assemble_full_rows(tuple(blocks))
-
-    # --- normal equations over [dense D | landmark L] ----------------------
-    H = rows.J.T @ rows.J
-    g = rows.J.T @ rows.r
+    n = build_window_normal(
+        layout, state, imu_sel, proj_sel, prior,
+        gravity=gravity, proj_sqrt_info=proj_sqrt_info,
+        dep_sqrt_info=dep_sqrt_info, huber_delta=huber_delta,
+        landmark_param=landmark_param,
+    )
+    H, g = n.H, n.g
+    P79, _ = compact_placement(layout, jnp.float32)
+    P79 = P79.astype(dtype)
 
     # --- eliminate touched landmarks (block Schur) -------------------------
     # every landmark column appearing in the selected rows is eliminated:
@@ -110,14 +103,8 @@ def marginalize(
     # seen by a removed observer — matching marginalization.cpp:94-108
     # where LANDMARK params get is_remove=remove_base_when_margin_remote.
     if pos3d:
-        Jl = rows.Jl  # [N, 3]
-        hll3 = jnp.zeros((L, 3, 3), dtype).at[rows.lm].add(
-            Jl[:, :, None] * Jl[:, None, :]
-        )
-        gl3 = jnp.zeros((L, 3), dtype).at[rows.lm].add(Jl * rows.r[:, None])
-        Hdl3 = jnp.zeros((L, 3, D), dtype).at[rows.lm].add(
-            Jl[:, :, None] * rows.J[:, None, :]
-        )
+        hll3, gl3 = n.hll, n.gl
+        Hdl3 = jnp.einsum("lig,gd->lid", n.Hpl, P79)  # embed to global
         used = jnp.einsum("lii->l", hll3) > 0
         safe = hll3 + (1.0 - used[:, None, None].astype(dtype)) * jnp.eye(
             3, dtype=dtype
@@ -126,11 +113,8 @@ def marginalize(
         H1 = H - jnp.einsum("lid,lij,lje->de", Hdl3, inv3, Hdl3)
         g1 = g - jnp.einsum("lid,lij,lj->d", Hdl3, inv3, gl3)
     else:
-        hll = jnp.zeros((L,), dtype).at[rows.lm].add(rows.Jl * rows.Jl)
-        gl = jnp.zeros((L,), dtype).at[rows.lm].add(rows.Jl * rows.r)
-        Hdl = jnp.zeros((L, D), dtype).at[rows.lm].add(
-            rows.J * rows.Jl[:, None]
-        )
+        hll, gl = n.hll, n.gl
+        Hdl = n.Hpl @ P79  # embed compact [L, G] to global [L, D]
         hll_safe = jnp.where(hll > 0, hll, 1.0)
         H1 = H - (Hdl / hll_safe[:, None]).T @ Hdl
         g1 = g - Hdl.T @ (gl / hll_safe)

@@ -86,6 +86,9 @@ class CircleSim:
         phase=0.0,
         extrinsics=None,
         fov_cos=0.7,
+        cam_td=0.0,
+        wobble=0.0,
+        wobble_hz=0.7,
     ):
         self.rng = np.random.default_rng(seed)
         ang = self.rng.uniform(0, 2 * np.pi, n_landmarks)
@@ -115,6 +118,17 @@ class CircleSim:
         c, s = np.cos(phase), np.sin(phase)
         self._Rz = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
         self._qz = np.array([0.0, 0.0, np.sin(phase / 2), np.cos(phase / 2)])
+        # camera-IMU time offset: images are CAPTURED at stamp + cam_td
+        # but published with the IMU-clock stamp (the td the reference's
+        # projection factors estimate online, projectionTwoFrameOneCam
+        # Factor.cpp:34-76); frames then carry FD ray velocities so the
+        # td correction has a lever arm
+        self.cam_td = cam_td
+        # attitude wobble (roll/pitch sinusoid) for extrinsic-calibration
+        # observability — yaw-only motion leaves extrinsic directions
+        # unobservable; gyro follows by finite difference of q(t)
+        self.wobble = wobble
+        self.wobble_hz = wobble_hz
 
     def _gt(self, t):
         if self.dynamic_start:
@@ -128,6 +142,13 @@ class CircleSim:
             v = self._Rz @ v
             a = self._Rz @ a
             q = np_lie.quat_mul(self._qz, q)
+        if self.wobble > 0.0:
+            w = 2 * np.pi * self.wobble_hz * max(t, 0.0)
+            roll = self.wobble * np.sin(w)
+            pitch = self.wobble * np.cos(w) * (1 - np.exp(-max(t, 0.0)))
+            qr = np.array([np.sin(roll / 2), 0, 0, np.cos(roll / 2)])
+            qp = np.array([0, np.sin(pitch / 2), 0, np.cos(pitch / 2)])
+            q = np_lie.quat_mul(q, np_lie.quat_mul(qr, qp))
         if self.dynamic_start:
             return p, v, a, q, self.omega
         e = np.exp(-max(t, 0.0) / 1.0)
@@ -146,7 +167,16 @@ class CircleSim:
             p, v, a, q, gyro_z = self._gt(t)
             R = np_lie.quat_to_rotmat(q)
             acc_b = R.T @ (a + GRAVITY) + self.acc_bias
-            gyr_b = np.array([0.0, 0.0, gyro_z]) + self.gyr_bias
+            if self.wobble > 0.0:
+                # body rates by central difference of the wobbled q(t)
+                h = 1e-5
+                qm = self._gt(t - h)[3]
+                qp = self._gt(t + h)[3]
+                dq = np_lie.quat_mul(np_lie.quat_conj(qm), qp)
+                gyr_b = dq[:3] * (2.0 / (2 * h) * np.sign(dq[3]))
+                gyr_b = gyr_b + self.gyr_bias
+            else:
+                gyr_b = np.array([0.0, 0.0, gyro_z]) + self.gyr_bias
             if self.acc_noise > 0:
                 acc_b = acc_b + self.rng.normal(0, self.acc_noise, 3)
             if self.gyr_noise > 0:
@@ -154,15 +184,16 @@ class CircleSim:
             out.append((t, acc_b, gyr_b))
         return out
 
-    def frame(self, frame_id: int) -> FrontendFrame:
-        t = frame_id / self.frame_hz
+    def _rays_at(self, t: float, cam: int, vis=None):
+        """Unit rays of (a subset of) landmarks from camera ``cam`` at
+        time ``t``; with ``vis`` None, also computes the visibility
+        subset."""
         pose, _ = self.gt_pose(t)
-        obs = []
-        for cam in range(len(self.ext)):
-            T = np_lie.pose_compose(pose, self.ext[cam])
-            R = np_lie.quat_to_rotmat(T[3:])
-            pc = (self.lms - T[:3]) @ R  # [N,3] in camera frame
-            d = np.linalg.norm(pc, axis=1)
+        T = np_lie.pose_compose(pose, self.ext[cam])
+        R = np_lie.quat_to_rotmat(T[3:])
+        pc = (self.lms - T[:3]) @ R  # [N,3] in camera frame
+        d = np.linalg.norm(pc, axis=1)
+        if vis is None:
             infront = pc[:, 2] > 1.0
             # field of view gate (cos half-angle; default ~45 deg)
             fov = pc[:, 2] / np.maximum(d, 1e-9) > self.fov_cos
@@ -170,7 +201,22 @@ class CircleSim:
             if len(vis) > self.max_obs:
                 # deterministic subset by id so tracks persist
                 vis = vis[np.argsort(vis)][: self.max_obs]
-            rays = pc[vis] / d[vis][:, None]
+        return pc[vis] / d[vis][:, None], vis
+
+    def frame(self, frame_id: int) -> FrontendFrame:
+        t = frame_id / self.frame_hz
+        t_cap = t + self.cam_td  # capture instant on the camera clock
+        obs = []
+        for cam in range(len(self.ext)):
+            rays, vis = self._rays_at(t_cap, cam)
+            if self.cam_td != 0.0:
+                # FD ray velocities (the lever arm of the reference's
+                # online-td projection correction)
+                dt = 1e-3
+                rays2, _ = self._rays_at(t_cap + dt, cam, vis)
+                vels = (rays2 - rays) / dt
+            else:
+                vels = np.zeros_like(rays)
             if self.pix_noise > 0:
                 n = self.rng.normal(0, self.pix_noise, rays.shape)
                 rays = rays + n - rays * np.sum(rays * n, axis=1, keepdims=True)
@@ -180,7 +226,7 @@ class CircleSim:
                     cam_id=cam,
                     landmark_ids=vis.astype(np.int64),
                     rays=rays,
-                    ray_vels=np.zeros_like(rays),
+                    ray_vels=vels,
                 )
             )
         return FrontendFrame(

@@ -128,6 +128,9 @@ def main():
     ap.add_argument("--out", default="weights")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--skip-netvlad", action="store_true")
+    ap.add_argument("--sg-steps", type=int, default=0,
+                    help="also train the compact SuperGlue matcher on "
+                         "the frozen SuperPoint features")
     args = ap.parse_args()
 
     if args.cpu:
@@ -150,19 +153,26 @@ def main():
     sp_cfg = SuperPointConfig(max_keypoints=200, threshold=0.010,
                               nms_radius=4)
 
-    t0 = time.time()
-    sp_params, sp_losses = train_superpoint(
-        steps=args.steps, batch=args.batch, hw=(120, 160),
-        cfg=sp_cfg, log_every=max(args.steps // 10, 1),
-    )
-    print(f"superpoint: {args.steps} steps in {time.time()-t0:.0f}s, "
-          f"loss {sp_losses[0]:.3f} -> "
-          f"{sum(sp_losses[-20:])/20:.3f}", flush=True)
-    save_weights(os.path.join(args.out, "superpoint_synth.npz"), sp_params)
+    sp_path = os.path.join(args.out, "superpoint_synth.npz")
+    if args.steps == 0 and os.path.exists(sp_path):
+        from d2slam_tpu.frontend.train_frontend import load_weights
 
-    med, n = eval_detector_consistency(sp_params, sp_cfg)
-    print(f"detector reprojection consistency: median {med:.2f} px "
-          f"over {n} cross-view tracks", flush=True)
+        sp_params = load_weights(sp_path)
+        print(f"superpoint: loaded existing {sp_path}", flush=True)
+    else:
+        t0 = time.time()
+        sp_params, sp_losses = train_superpoint(
+            steps=args.steps, batch=args.batch, hw=(120, 160),
+            cfg=sp_cfg, log_every=max(args.steps // 10, 1),
+        )
+        print(f"superpoint: {args.steps} steps in {time.time()-t0:.0f}s, "
+              f"loss {sp_losses[0]:.3f} -> "
+              f"{sum(sp_losses[-20:])/20:.3f}", flush=True)
+        save_weights(sp_path, sp_params)
+
+        med, n = eval_detector_consistency(sp_params, sp_cfg)
+        print(f"detector reprojection consistency: median {med:.2f} px "
+              f"over {n} cross-view tracks", flush=True)
 
     if not args.skip_netvlad:
         nv_cfg = NetVLADConfig(num_clusters=16, output_dim=1024)
@@ -179,6 +189,66 @@ def main():
         r1, r0 = eval_loop_recall(nv_params, nv_cfg)
         print(f"loop recall@1 (rendered revisits): trained {r1*100:.0f}% "
               f"vs weight-free baseline {r0*100:.0f}%", flush=True)
+
+    if args.sg_steps > 0:
+        import functools
+
+        import jax.numpy as jnp
+
+        from d2slam_tpu.frontend.superglue import (
+            SuperGlueConfig,
+            superglue_match,
+        )
+        from d2slam_tpu.frontend.tracker import match_descriptors_radius
+        from d2slam_tpu.frontend.train_frontend import (
+            eval_matcher_pr,
+            train_superglue,
+        )
+
+        sg_cfg = SuperGlueConfig(num_layers=3, num_heads=4,
+                                 sinkhorn_iters=20)
+        t0 = time.time()
+        sg_params, sg_losses = train_superglue(
+            steps=args.sg_steps, batch=8, hw=(120, 160),
+            sp_params=sp_params, sp_cfg=sp_cfg, sg_cfg=sg_cfg,
+            log_every=max(args.sg_steps // 10, 1),
+        )
+        print(f"superglue: {args.sg_steps} steps in {time.time()-t0:.0f}s, "
+              f"loss {sg_losses[0]:.3f} -> "
+              f"{sum(sg_losses[-20:])/20:.3f}", flush=True)
+        save_weights(os.path.join(args.out, "superglue_synth.npz"),
+                     sg_params)
+
+        # held-out precision/recall vs the default kNN matcher
+        import jax as _jax
+
+        import dataclasses as _dc
+
+        eval_sp_cfg = _dc.replace(sp_cfg, max_keypoints=96)
+        sg_match = _jax.jit(functools.partial(
+            superglue_match, sg_params, img_hw=(120, 160), cfg=sg_cfg
+        ))
+
+        def sg_fn(a, b):
+            return sg_match(
+                a.kpts, a.desc, a.scores, a.valid,
+                b.kpts, b.desc, b.scores, b.valid,
+            )
+
+        def knn_fn(a, b):
+            return match_descriptors_radius(
+                a.desc, b.desc,
+                a.kpts.astype(jnp.float32), b.kpts.astype(jnp.float32),
+                a.valid, b.valid, radius=1e9, ratio=0.9,
+            )
+
+        p_sg, r_sg, *_ = eval_matcher_pr(sg_fn, sp_params, eval_sp_cfg,
+                                         (120, 160))
+        p_nn, r_nn, *_ = eval_matcher_pr(knn_fn, sp_params, eval_sp_cfg,
+                                         (120, 160))
+        print(f"matcher P/R on held-out pairs: superglue "
+              f"{p_sg*100:.0f}%/{r_sg*100:.0f}% vs kNN "
+              f"{p_nn*100:.0f}%/{r_nn*100:.0f}%", flush=True)
     return 0
 
 

@@ -13,7 +13,8 @@ import pytest
 WEIGHTS = os.path.join(os.path.dirname(__file__), "..", "weights",
                        "superpoint_synth.npz")
 
-GOLDEN_IMAGE_ATE = 0.06  # m (observed 0.020 at pin time)
+GOLDEN_IMAGE_ATE = 0.03  # m (observed 0.020 at pin time; tightened
+#                          round-4 per verdict item 8 — 1.5x headroom)
 
 
 @pytest.mark.slow

@@ -149,7 +149,11 @@ def test_transport_dpgo_growth():
             )
             assert dp.add_edge(k - 1, k, rel, si)
     assert len(dp.keys) == 40
-    assert cfg.max_poses >= 40 and cfg.max_edges >= 39
+    # capacities grow on the INSTANCE's config copy; the caller's cfg
+    # object stays untouched (robots sharing one cfg must not inherit
+    # each other's grown capacities without reallocating)
+    assert dp.cfg.max_poses >= 40 and dp.cfg.max_edges >= 39
+    assert cfg.max_poses == 8 and cfg.max_edges == 8
     # a solve at the grown layout still works
     dp.updated = True
     dp.solve(stamp=40.0)
