@@ -373,6 +373,32 @@ def bench_pgo1k():
     return ms, fl, ms_d, fl_d
 
 
+def bench_retrieval_precision():
+    """Trained-NetVLAD precision/recall under perceptual aliasing
+    (round-3 verdict item 5); {} when no trained weights exist."""
+    import os
+
+    nv_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "weights", "netvlad_synth.npz")
+    if not os.path.exists(nv_path):
+        return {}
+    from d2slam_tpu.frontend.netvlad import NetVLADConfig
+    from d2slam_tpu.frontend.train_frontend import load_weights
+    from d2slam_tpu.utils.evaluation import retrieval_pr_aliasing
+
+    nv = load_weights(nv_path)
+    out_dim = int(nv["vlad_assign"]["w"].shape[-1]) * 64
+    cfg = NetVLADConfig(num_clusters=out_dim // 64, output_dim=out_dim)
+    r = retrieval_pr_aliasing(nv, cfg)
+    return {
+        "netvlad_alias_precision_at_0p8": round(r["precision_at_0p8"], 3),
+        "netvlad_alias_recall_at_0p8": round(r["recall_at_0p8"], 3),
+        "netvlad_alias_op_precision": round(r["op_precision"], 3),
+        "netvlad_alias_op_recall": round(r["op_recall"], 3),
+        "netvlad_alias_op_threshold": round(r["op_threshold"], 3),
+    }
+
+
 def main():
     from d2slam_tpu.utils.compile_cache import enable_compilation_cache
 
@@ -453,6 +479,9 @@ def main():
             # (~0.1 ms) the same code runs at device speed
             # (e2e_keyframe_ms).
             "link_roundtrip_ms": round(_link_ms(), 1),
+            # trained-retriever precision under aliasing (empty when
+            # weights absent)
+            **bench_retrieval_precision(),
             "device": jax.devices()[0].device_kind,
         },
     }))

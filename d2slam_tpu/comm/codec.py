@@ -38,7 +38,7 @@ from typing import NamedTuple, Optional
 import numpy as np
 
 MAGIC = 0xD25A11A7
-VERSION = 3
+VERSION = 4
 _HDR = struct.Struct("<IHHqdBHHH")
 _Z3 = np.zeros(3, np.float32)
 
@@ -65,6 +65,12 @@ class RemoteKeyframePacket(NamedTuple):
     sld_win: np.ndarray = np.zeros(0, np.int64)  # sender's window frame ids
     # --- v3: world frame these poses live in (merge toward lower id) ---
     ref_frame_id: int = -1
+    # --- v4: landmark world positions in the SENDER's frame (nan =
+    # not yet estimated) — the reference ships pt3d with every landmark
+    # (d2common/include/d2common/d2landmarks.h:28-169 LandmarkPerFrame),
+    # which is what lets a receiver verify loops by PnP against REMOTE
+    # geometry, not only against its own map ---
+    lm_pos3d: np.ndarray = np.zeros((0, 3), np.float32)
 
 
 def _quant(v: np.ndarray):
@@ -116,6 +122,11 @@ def encode_keyframe(pkt: RemoteKeyframePacket) -> bytes:
     # v3 reference frame id
     ref = pkt.ref_frame_id if pkt.ref_frame_id >= 0 else pkt.drone_id
     out.append(struct.pack("<i", int(ref)))
+    # v4 landmark world positions (nan where unknown)
+    p3 = np.asarray(pkt.lm_pos3d, np.float32)
+    if p3.shape != (n, 3):
+        p3 = np.full((n, 3), np.nan, np.float32)
+    out.append(p3.tobytes())
     return b"".join(out)
 
 
@@ -125,7 +136,7 @@ def decode_keyframe(buf: bytes) -> Optional[RemoteKeyframePacket]:
     magic, ver, drone_id, frame_id, stamp, is_kf, n, G, D = _HDR.unpack_from(
         buf, 0
     )
-    if magic != MAGIC or ver not in (1, 2, 3):
+    if magic != MAGIC or ver not in (1, 2, 3, 4):
         return None
     off = _HDR.size
     pose = np.frombuffer(buf, np.float32, 7, off).copy()
@@ -177,13 +188,18 @@ def decode_keyframe(buf: bytes) -> Optional[RemoteKeyframePacket]:
     ref_frame_id = drone_id
     if ver >= 3:
         (ref_frame_id,) = struct.unpack_from("<i", buf, off); off += 4
+    lm_pos3d = np.full((n, 3), np.nan, np.float32)
+    if ver >= 4:
+        lm_pos3d = np.frombuffer(
+            buf, np.float32, 3 * n, off).reshape(n, 3).copy()
+        off += 12 * n
     return RemoteKeyframePacket(
         drone_id=drone_id, frame_id=frame_id, stamp=stamp,
         is_keyframe=bool(is_kf), pose=pose, gdesc=gdesc,
         lm_ids=lm_ids, lm_cam=lm_cam, lm_rays=lm_rays, lm_vels=lm_vels,
         lm_desc=lm_desc, ba=ba, bg=bg, vel=vel,
         imu_t=imu_t, imu_acc=imu_acc, imu_gyr=imu_gyr, sld_win=sld_win,
-        ref_frame_id=ref_frame_id,
+        ref_frame_id=ref_frame_id, lm_pos3d=lm_pos3d,
     )
 
 

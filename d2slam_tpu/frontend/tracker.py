@@ -153,6 +153,8 @@ class FeatureTracker:
         extract_fn=None,
         extrinsics=None,
         matcher_fn=None,
+        aux_img_fn=None,
+        aux_params=None,
     ):
         """extract_fn: optional override ``f(img, cam_id) ->
         SuperPointOutput`` (tests inject oracle extractors; production
@@ -188,6 +190,14 @@ class FeatureTracker:
         self.dt = 1.0 / frame_rate
         self.ext = None if extrinsics is None else np.asarray(extrinsics)
         self.matcher_fn = matcher_fn
+        # auxiliary per-frame image computation FUSED into the
+        # extraction program (e.g. the NetVLAD global descriptor):
+        # ``aux_img_fn(aux_params, imgs_u8 [V,H,W]) -> array`` runs in
+        # the SAME packed device call as SuperPoint, so the images
+        # upload once and the keyframe costs one device round trip
+        # fewer. Result lands in ``self.last_aux`` after each frame.
+        self.last_aux = None
+        self._aux_img_fn = aux_img_fn
         if extract_fn is None:
             from d2slam_tpu.utils.placement import PackedAccelFn
 
@@ -206,13 +216,35 @@ class FeatureTracker:
                 device_args=(sp_params,),
             )
             self._extract = lambda img, cam_id: packed_one(_img_u8(img))
-            packed_batch = PackedAccelFn(
-                lambda p, imgs: jax.vmap(
-                    lambda im: superpoint_extract(p, _norm(im), sp_cfg)
-                )(imgs),
-                device_args=(sp_params,),
-            )
-            self._extract_batch = lambda imgs: packed_batch(_img_u8(imgs))
+            if aux_img_fn is None:
+                packed_batch = PackedAccelFn(
+                    lambda p, imgs: jax.vmap(
+                        lambda im: superpoint_extract(p, _norm(im), sp_cfg)
+                    )(imgs),
+                    device_args=(sp_params,),
+                )
+
+                def extract_batch(imgs):
+                    self.last_aux = None
+                    return packed_batch(_img_u8(imgs))
+            else:
+                packed_batch_aux = PackedAccelFn(
+                    lambda p, ap, imgs: (
+                        jax.vmap(
+                            lambda im: superpoint_extract(
+                                p, _norm(im), sp_cfg)
+                        )(imgs),
+                        aux_img_fn(ap, imgs),
+                    ),
+                    device_args=(sp_params, aux_params),
+                )
+
+                def extract_batch(imgs):
+                    outs, aux = packed_batch_aux(_img_u8(imgs))
+                    self.last_aux = aux
+                    return outs
+
+            self._extract_batch = extract_batch
         else:
             self._extract = extract_fn
             self._extract_batch = None

@@ -432,6 +432,7 @@ def train_superglue(
     sp_cfg: "SuperPointConfig | None" = None,
     sg_cfg=None,
     n_kpts: int = 96,
+    n_pairs: int = 256,
     log_every: int = 100,
 ):
     """Train a compact SuperGlue on synthetic homography pairs with
@@ -463,13 +464,13 @@ def train_superglue(
     rng = np.random.default_rng(seed)
     key = jax.random.PRNGKey(seed)
     sg = superglue_init(key, sg_cfg)
-    opt = optax.adam(lr)
+    sched = optax.cosine_decay_schedule(lr, steps, alpha=0.05)
+    opt = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(sched))
     opt_state = opt.init(sg)
 
     # ---- precompute a device-resident pair bank with the FROZEN
     # SuperPoint (features never change, so extraction runs once;
     # training steps then upload only batch indices) ----
-    n_pairs = 256
 
     @jax.jit
     def build_bank(imgs, Hmats):

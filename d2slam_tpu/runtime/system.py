@@ -230,6 +230,7 @@ class D2SLAMSystem:
             from d2slam_tpu.frontend.train_frontend import load_weights
 
             sp_params = load_weights(sys_cfg.superpoint_weights)
+        aux_img_fn, aux_params = None, None
         if sys_cfg.netvlad_weights and gdesc_fn is None:
             import jax as _jax
 
@@ -250,6 +251,21 @@ class D2SLAMSystem:
                     f"netvlad weights produce {out_dim}-d descriptors "
                     f"but gdesc_dim={sys_cfg.gdesc_dim}"
                 )
+
+            # FUSED into the tracker's extraction program (one packed
+            # device call per frame: images upload once, SuperPoint +
+            # NetVLAD both run; round-3 link accounting showed the
+            # separate gdesc call re-uploading every image)
+            def aux_img_fn(nv_p, imgs_u8):
+                return netvlad_apply(
+                    nv_p,
+                    imgs_u8[:1].astype(_jax.numpy.float32)[..., None]
+                    / 255.0, nv_cfg,
+                )[0]
+
+            aux_params = nv_params
+            # standalone fallback for feature-level inputs (no images
+            # through the tracker)
             nv_packed = PackedAccelFn(
                 lambda p, img: netvlad_apply(
                     p, img.astype(_jax.numpy.float32)[None, ..., None]
@@ -314,6 +330,7 @@ class D2SLAMSystem:
             tracker_cfg or TrackerConfig(), frame_rate=frame_rate,
             extract_fn=extract_fn, extrinsics=self.ext,
             matcher_fn=matcher_fn,
+            aux_img_fn=aux_img_fn, aux_params=aux_params,
         )
         self.gdesc_fn = gdesc_fn or (
             lambda img: image_embedding_gdesc(img, sys_cfg.gdesc_dim)
@@ -571,9 +588,14 @@ class D2SLAMSystem:
         self._add_pgo_node(self.drone_id, ff.frame_id, ff.stamp, pose)
 
         if gdesc is None:
-            g_img = img[0] if isinstance(img, list) else img
-            gdesc = (self.gdesc_fn(g_img) if g_img is not None
-                     else np.zeros(self.sys.gdesc_dim, np.float32))
+            if getattr(self.tracker, "last_aux", None) is not None:
+                # computed inside the tracker's fused extraction call
+                # (one device round trip for SuperPoint + NetVLAD)
+                gdesc = self.tracker.last_aux
+            else:
+                g_img = img[0] if isinstance(img, list) else img
+                gdesc = (self.gdesc_fn(g_img) if g_img is not None
+                         else np.zeros(self.sys.gdesc_dim, np.float32))
         gdesc = np.asarray(gdesc, np.float32)
 
         if self.sys.enable_loop_detection:
@@ -747,6 +769,10 @@ class D2SLAMSystem:
             drone_id=self.drone_id, frame_id=ff.frame_id, stamp=ff.stamp,
             is_keyframe=True, pose=pose.astype(np.float32),
             gdesc=gdesc,
+            # landmark 3D in OUR world (reference LandmarkPerFrame
+            # pt3d): receivers verify loops by PnP against our geometry
+            lm_pos3d=self._lm_positions_of(
+                ff, [int(i) for i in lm_ids]).astype(np.float32),
             lm_ids=lm_ids,
             lm_cam=lm_cam,
             lm_rays=lm_rays,

@@ -101,3 +101,96 @@ def read_trajectory_csv(path: str):
             stamps.append(vals[0])
             poses.append(vals[1:8])
     return np.asarray(stamps), np.asarray(poses)
+
+
+def retrieval_pr_aliasing(
+    nv_params,
+    nv_cfg,
+    n_places: int = 20,
+    n_alias: int = 12,
+    seed: int = 3,
+    hw=(120, 160),
+    thresholds=None,
+):
+    """Precision/recall of NetVLAD place retrieval under PERCEPTUAL
+    ALIASING (round-3 verdict item 5: recall@1 alone says nothing about
+    the false-positive behavior that poisons PGO; the reference's
+    retrieval stack is built to reject look-alikes,
+    d2frontend/src/loop_detector.cpp:254-330 thres + gates).
+
+    The database holds ``n_places`` distinct scenes. Queries are (a)
+    genuine revisits of each DB place (viewpoint + photometric change)
+    and (b) revisits of ``n_alias`` HELD-OUT scenes drawn from the same
+    generator — structurally similar rooms that are NOT in the map
+    (repeated structure). A held-out query retrieved above threshold is
+    a false positive: exactly the failure that injects false loops
+    into PGO.
+
+    Returns dict with per-threshold precision/recall arrays and the
+    operating-point values at the reference's 0.8 gate.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from d2slam_tpu.frontend.netvlad import netvlad_apply
+    from d2slam_tpu.frontend.train_frontend import (
+        make_batch,
+        random_homography,
+        warp_image,
+    )
+
+    H, W = hw
+    rng = np.random.default_rng(seed)
+    base, _ = make_batch(rng, n_places, H, W)
+    warp = jax.jit(warp_image)
+
+    def variant(img, strength):
+        Hm = random_homography(rng, H, W, max_angle=0.35 * strength,
+                               max_trans=0.15 * strength)
+        v = np.asarray(warp(jnp.asarray(img), jnp.asarray(Hm, jnp.float32)))
+        gain = rng.uniform(1 - 0.3 * strength, 1 + 0.3 * strength)
+        return np.clip(v * gain, 0, 1).astype(np.float32)
+
+    held_out, _ = make_batch(rng, n_alias, H, W)
+    queries = [variant(base[i], strength=0.5) for i in range(n_places)]
+    queries += [variant(held_out[k], strength=0.5)
+                for k in range(n_alias)]
+    # query k < n_places should retrieve place k; the rest should stay
+    # below threshold (their place is not in the map)
+    gt = np.concatenate(
+        [np.arange(n_places), -np.ones(n_alias, int)]
+    )
+
+    apply_j = jax.jit(lambda x: netvlad_apply(nv_params, x[..., None],
+                                              nv_cfg))
+    db = np.asarray(apply_j(jnp.asarray(base)))
+    q = np.asarray(apply_j(jnp.asarray(np.stack(queries))))
+    sims = q @ db.T                       # [n_q, n_places]
+    best = np.argmax(sims, axis=1)
+    best_sim = sims[np.arange(len(queries)), best]
+    correct = best == gt                  # held-out rows always False
+
+    if thresholds is None:
+        thresholds = np.linspace(0.5, 0.99, 25)
+    prec, rec = [], []
+    for th in thresholds:
+        fired = best_sim >= th
+        tp = int(np.sum(fired & correct))
+        prec.append(tp / max(int(fired.sum()), 1))
+        rec.append(tp / n_places)
+    prec = np.asarray(prec)
+    rec = np.asarray(rec)
+    f1 = 2 * prec * rec / np.maximum(prec + rec, 1e-9)
+    k = int(np.argmax(f1))
+    return {
+        "thresholds": np.asarray(thresholds),
+        "precision": prec,
+        "recall": rec,
+        "precision_at_0p8": float(np.interp(0.8, thresholds, prec)),
+        "recall_at_0p8": float(np.interp(0.8, thresholds, rec)),
+        # self-calibrated operating point (the detector's auto_thres
+        # plays the same role at runtime): best-F1 threshold
+        "op_threshold": float(thresholds[k]),
+        "op_precision": float(prec[k]),
+        "op_recall": float(rec[k]),
+    }

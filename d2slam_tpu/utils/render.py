@@ -72,7 +72,7 @@ def render_blobs(
                 + sigs[k, 2] * np.cos(4 * phi + sigs[k, 5])
             ) / max(np.abs(sigs[k, :3]).sum(), 1e-6) * 0.5
             ring_env = np.exp(-((rr - 3.0) ** 2) / 2.0)
-            patch = patch + ii * 0.7 * ring * ring_env
+            patch = patch + ii * 0.9 * ring * ring_env
         img[y0 - r : y0 + r + 1, x0 - r : x0 + r + 1] += patch
     return np.clip(img, 0.0, 1.0)
 

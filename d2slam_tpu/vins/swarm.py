@@ -70,6 +70,14 @@ class SwarmManager:
         self.remote_trajs.setdefault(pkt.drone_id, []).append(
             (pkt.frame_id, pkt.stamp, pkt.pose.copy())
         )
+        # v4 packets carry landmark 3D in the sender's world frame
+        # (reference LandmarkPerFrame pt3d) — PnP against REMOTE
+        # geometry then works in both loop directions; pose + positions
+        # are a consistent pair, so the resulting relative pose is
+        # world-independent
+        lm_pos = (pkt.lm_pos3d.astype(np.float64)
+                  if len(pkt.lm_pos3d) == len(pkt.lm_ids)
+                  else np.full((len(pkt.lm_ids), 3), np.nan))
         entry = KeyframeEntry(
             frame_id=pkt.frame_id,
             drone_id=pkt.drone_id,
@@ -79,7 +87,7 @@ class SwarmManager:
             kpt_cam=pkt.lm_cam.astype(np.int32),
             kpt_desc=pkt.lm_desc,
             kpt_valid=np.ones(len(pkt.lm_ids), bool),
-            lm_positions=np.full((len(pkt.lm_ids), 3), np.nan),
+            lm_positions=lm_pos,
             lm_ids=np.asarray(pkt.lm_ids, np.int64),
         )
         edge = self.detector.detect(entry, pkt.gdesc)

@@ -209,8 +209,9 @@ def main():
                                  sinkhorn_iters=20)
         t0 = time.time()
         sg_params, sg_losses = train_superglue(
-            steps=args.sg_steps, batch=8, hw=(120, 160),
+            steps=args.sg_steps, batch=16, hw=(120, 160),
             sp_params=sp_params, sp_cfg=sp_cfg, sg_cfg=sg_cfg,
+            n_pairs=512,
             log_every=max(args.sg_steps // 10, 1),
         )
         print(f"superglue: {args.sg_steps} steps in {time.time()-t0:.0f}s, "
