@@ -269,6 +269,11 @@ def bench_system():
             "kb_down_per_frame": round(
                 link["bytes_down"] / measure / 1e3, 1),
             "compiles_in_window": link["builds"],
+            # wall time inside packed calls vs pure host logic: the
+            # frame cost must reconcile as link_ms + host_ms
+            "link_ms_per_frame": round(link["call_ms"] / measure, 1),
+            "host_ms_per_frame": round(
+                wall * 1e3 / measure - link["call_ms"] / measure, 1),
         },
     )
 

@@ -42,11 +42,14 @@ class LinkStats:
     bytes_up: int = 0      # host->device payload bytes
     bytes_down: int = 0    # device->host payload bytes
     builds: int = 0        # wrapper traces (compile events)
+    call_ms: float = 0.0   # wall time spent inside packed calls
+    #                        (upload + execute + wait + download)
 
     @classmethod
     def snapshot(cls) -> dict:
         return {"calls": cls.calls, "bytes_up": cls.bytes_up,
-                "bytes_down": cls.bytes_down, "builds": cls.builds}
+                "bytes_down": cls.bytes_down, "builds": cls.builds,
+                "call_ms": cls.call_ms}
 
     @classmethod
     def delta(cls, since: dict) -> dict:
@@ -151,15 +154,19 @@ class PackedAccelFn:
             self._cache[key] = entry
         packed_call, split = entry
 
+        import time
+
         bufs = _pack_host(leaves)
         LinkStats.calls += 1
         LinkStats.bytes_up += sum(b.nbytes for b in bufs)
+        t0 = time.perf_counter()
         out = packed_call(*bufs)
         # block FIRST, then fetch: np.asarray on a pending result takes
         # a pathological sync path through the tunnel plugin (measured
         # 180 ms-1.2 s vs block+device_get ~70 ms)
         jax.block_until_ready(out)
         flat = jax.device_get(out)
+        LinkStats.call_ms += (time.perf_counter() - t0) * 1e3
         LinkStats.bytes_down += flat.nbytes
         return split(flat)
 

@@ -125,3 +125,57 @@ def test_superglue_as_tracker_matcher():
     t2 = FeatureTracker(None, None, cams, TrackerConfig(),
                         extract_fn=oracle)
     assert t2.matcher_fn is None
+
+
+def test_trained_superglue_beats_knn():
+    """The shipped in-container-trained matcher must out-match the kNN
+    baseline on held-out homography pairs (round-3 verdict item 6:
+    'a learned matcher that has never learned doesn't match')."""
+    import functools
+    import os
+
+    import jax
+
+    wdir = os.path.join(os.path.dirname(__file__), "..", "weights")
+    sg_w = os.path.join(wdir, "superglue_synth.npz")
+    sp_w = os.path.join(wdir, "superpoint_synth.npz")
+    if not (os.path.exists(sg_w) and os.path.exists(sp_w)):
+        pytest.skip("trained weights not present")
+    from d2slam_tpu.frontend.matching import match_descriptors_radius
+    from d2slam_tpu.frontend.superglue import (
+        SuperGlueConfig,
+        superglue_match,
+    )
+    from d2slam_tpu.frontend.superpoint import SuperPointConfig
+    from d2slam_tpu.frontend.train_frontend import (
+        eval_matcher_pr,
+        load_weights,
+    )
+
+    sp_params = load_weights(sp_w)
+    sg_params = load_weights(sg_w)
+    sg_cfg = SuperGlueConfig(num_layers=3, num_heads=4, sinkhorn_iters=20)
+    sp_cfg = SuperPointConfig(max_keypoints=96, threshold=0.010,
+                              nms_radius=4)
+    sg_match = jax.jit(functools.partial(
+        superglue_match, sg_params, img_hw=(120, 160), cfg=sg_cfg))
+
+    def sg_fn(a, b):
+        return sg_match(a.kpts, a.desc, a.scores, a.valid,
+                        b.kpts, b.desc, b.scores, b.valid)
+
+    def knn_fn(a, b):
+        return match_descriptors_radius(
+            a.desc, b.desc,
+            a.kpts.astype(jnp.float32), b.kpts.astype(jnp.float32),
+            a.valid, b.valid, radius=1e9, ratio=0.9)
+
+    p_sg, r_sg, *_ = eval_matcher_pr(sg_fn, sp_params, sp_cfg, (120, 160),
+                                     n_pairs=10)
+    p_nn, r_nn, *_ = eval_matcher_pr(knn_fn, sp_params, sp_cfg, (120, 160),
+                                     n_pairs=10)
+    print(f"SG {p_sg:.2f}/{r_sg:.2f} vs kNN {p_nn:.2f}/{r_nn:.2f}")
+    # F1 comparison: the trained matcher must not lose to the baseline
+    f1_sg = 2 * p_sg * r_sg / max(p_sg + r_sg, 1e-9)
+    f1_nn = 2 * p_nn * r_nn / max(p_nn + r_nn, 1e-9)
+    assert f1_sg > f1_nn, f"trained SG F1 {f1_sg:.3f} <= kNN {f1_nn:.3f}"
