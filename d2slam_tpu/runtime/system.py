@@ -348,11 +348,25 @@ class D2SLAMSystem:
             cfg.self_id = self.drone_id
 
             def lm_key(d: int, lid: int) -> int:
+                orig = (lid if d == self.drone_id
+                        else global_frame_id(d, lid))
                 od, oid = self.swarm.unified_id(d, lid)
                 # collapse to OUR raw id when unified with a local
                 # landmark so own + remote observations fuse in the
                 # pool (reference trackRemote landmark-ID unification)
-                return oid if od == self.drone_id else global_frame_id(od, oid)
+                uni = (oid if od == self.drone_id
+                       else global_frame_id(od, oid))
+                # key STABILITY: once a landmark track exists in the
+                # pooled estimator under its original key, later
+                # unification must not re-key it mid-stream — the
+                # established track keeps its anchor and the unified
+                # observations would split across two inconsistent
+                # tracks (measured 0.77 m server-mode error when a
+                # swarm merge lands mid-mission); landmarks first seen
+                # AFTER the merge fuse under the unified key
+                if uni != orig and orig in self.estimator.lmanager.db:
+                    return orig
+                return uni
 
             # "server" = the reference's ESTIMATION_MODE SERVER
             # (d2basetypes.h:38-44): a ground station estimating every

@@ -46,8 +46,11 @@ def test_codec_roundtrip():
     assert float(out.gdesc @ pkt.gdesc) > 0.99
     cos = np.sum(out.lm_desc * pkt.lm_desc, axis=1)
     assert cos.min() > 0.99
-    # bandwidth: int8 descriptors ~4x smaller than f32
-    assert len(buf) < 0.35 * (
+    # bandwidth: int8 descriptors ~4x smaller than f32 (the v4 landmark
+    # 3D block — 12 bytes/landmark, reference LandmarkPerFrame pt3d —
+    # ships as f32 and is excluded from the compression-ratio bound)
+    n = len(pkt.lm_ids)
+    assert len(buf) - 12 * n < 0.35 * (
         4 * (len(pkt.gdesc) + pkt.lm_desc.size + pkt.lm_rays.size)
     )
 
