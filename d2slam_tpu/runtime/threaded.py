@@ -12,9 +12,13 @@ d2frontend.cpp:81-84). This wrapper reproduces that split:
   backend thread: estimator solve + loop detection + PGO + broadcast
 
 On an accelerator behind a high-latency link the two stages each cost
-one packed round trip (~extraction, ~fused solve); overlapping them
-roughly doubles keyframe throughput. On a local chip it simply hides
-host association behind the solve, like the reference's threads do.
+one packed round trip (fused extraction+NetVLAD, fused solve+marg);
+overlapping them measured 1.45-1.77x serial keyframe throughput on a
+~25-70 ms RTT tunnel (bench.py round 4: 2.2-2.6 kf/s serial -> 3.8-3.9
+pipelined). The residual serializer is the GIL-held host association
+(~200 ms/frame of numpy bookkeeping shared by both stages). On a local
+chip it simply hides host association behind the solve, like the
+reference's threads do.
 """
 from __future__ import annotations
 
