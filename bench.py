@@ -310,11 +310,31 @@ def bench_superpoint():
 
 
 def bench_hitnet():
-    from d2slam_tpu.depth.hitnet import HitNetConfig, hitnet_apply, hitnet_init
+    """Times the TRAINED reference HitNet ONNX when present (the real
+    depth path: quadcam_depth_est runs this exact network through
+    TensorRT, hitnet.hpp); falls back to the random-init config model
+    on containers without the reference checkout."""
+    import os
 
+    from d2slam_tpu.depth.hitnet import (
+        REFERENCE_HITNET_F32,
+        HitNetConfig,
+        hitnet_apply,
+        hitnet_init,
+        load_trained_hitnet,
+    )
+
+    rng = np.random.default_rng(1)
+    if os.path.exists(REFERENCE_HITNET_F32):
+        apply, params = load_trained_hitnet()
+        h, w = apply.input_hw
+        l = jnp.asarray(rng.uniform(0, 1, (h, w)), jnp.float32)
+        r = jnp.asarray(rng.uniform(0, 1, (h, w)), jnp.float32)
+        f = jax.jit(lambda a, b: apply(params, a, b))
+        ms = _time_ms(f, (l, r), n=30)
+        return ms, _cost_flops(f, l, r)
     cfg = HitNetConfig()
     params = hitnet_init(jax.random.PRNGKey(1), cfg)
-    rng = np.random.default_rng(1)
     l = jnp.asarray(rng.uniform(0, 1, (1, 240, 320, 1)), jnp.float32)
     r = jnp.asarray(rng.uniform(0, 1, (1, 240, 320, 1)), jnp.float32)
     f = jax.jit(lambda a, b: hitnet_apply(params, a, b, cfg))

@@ -190,6 +190,10 @@ def decode_keyframe(buf: bytes) -> Optional[RemoteKeyframePacket]:
         (ref_frame_id,) = struct.unpack_from("<i", buf, off); off += 4
     lm_pos3d = np.full((n, 3), np.nan, np.float32)
     if ver >= 4:
+        if len(buf) - off < 12 * n:
+            # truncated / hostile packet: keep the documented contract
+            # (decode returns None on malformed input, never raises)
+            return None
         lm_pos3d = np.frombuffer(
             buf, np.float32, 3 * n, off).reshape(n, 3).copy()
         off += 12 * n

@@ -135,3 +135,105 @@ def lk_track_pyramidal(
     )
     ok = valid & ok_f & ok_b & (fb_err < fb_thresh) & inb
     return fwd, ok
+
+
+# ---------------------------------------------------------------------------
+# Native host-path LK (the reference's OpenCV SparsePyrLKOpticalFlow role)
+# ---------------------------------------------------------------------------
+
+_NATIVE = None
+_NATIVE_TRIED = False
+
+
+def _load_native():
+    """ctypes binding of frontend/native/lk.cpp, compiled on demand
+    (same pattern as runtime/pipeline.py). Returns None if the
+    toolchain is unavailable — callers fall back to the jitted path."""
+    global _NATIVE, _NATIVE_TRIED
+    if _NATIVE_TRIED:
+        return _NATIVE
+    _NATIVE_TRIED = True
+    import ctypes
+    import os
+    import subprocess
+
+    here = os.path.dirname(__file__)
+    src = os.path.join(here, "native", "lk.cpp")
+    so = os.path.join(here, "native", "liblk.so")
+    try:
+        if (not os.path.exists(so)
+                or os.path.getmtime(so) < os.path.getmtime(src)):
+            subprocess.run(
+                ["g++", "-O3", "-fPIC", "-shared", "-o", so, src,
+                 "-lpthread"],
+                check=True, capture_output=True,
+            )
+        lib = ctypes.CDLL(so)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.lk_pyr_track.restype = ctypes.c_int
+        lib.lk_pyr_track.argtypes = [
+            f32p, f32p, ctypes.c_int, ctypes.c_int, f32p, u8p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_float, ctypes.c_int, f32p, u8p,
+        ]
+        _NATIVE = lib
+    except (OSError, subprocess.CalledProcessError):
+        _NATIVE = None
+    return _NATIVE
+
+
+def lk_track_images(
+    img_prev,
+    img_next,
+    pts,
+    valid,
+    levels: int = 3,
+    win: int = 21,
+    iters: int = 10,
+    fb_thresh: float = 0.5,
+):
+    """Track ``pts`` from ``img_prev`` to ``img_next`` (full-res [H, W]
+    float images). Same semantics and return contract as
+    ``lk_track_pyramidal`` but takes raw images: prefers the native C++
+    kernel (frontend/native/lk.cpp — the gather-per-point inner loop is
+    pathological for XLA:CPU, ~200 ms/frame vs ~10 ms native on a
+    2-core host), falling back to the jitted pyramid path."""
+    import os
+
+    import numpy as np
+
+    lib = _load_native()
+    if lib is not None:
+        import ctypes
+
+        a = np.ascontiguousarray(img_prev, np.float32)
+        b = np.ascontiguousarray(img_next, np.float32)
+        p = np.ascontiguousarray(pts, np.float32)
+        v = np.ascontiguousarray(
+            np.asarray(valid, bool).astype(np.uint8))
+        n = p.shape[0]
+        out_p = np.empty((n, 2), np.float32)
+        out_ok = np.empty(n, np.uint8)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        rc = lib.lk_pyr_track(
+            a.ctypes.data_as(f32p), b.ctypes.data_as(f32p),
+            a.shape[0], a.shape[1],
+            p.ctypes.data_as(f32p), v.ctypes.data_as(u8p), n,
+            levels, win, iters, fb_thresh,
+            min(os.cpu_count() or 1, 4),
+            out_p.ctypes.data_as(f32p), out_ok.ctypes.data_as(u8p),
+        )
+        if rc == 0:
+            return out_p, out_ok.astype(bool)
+    pa = build_pyramid(jnp.asarray(img_prev, jnp.float32), levels)
+    pb = build_pyramid(jnp.asarray(img_next, jnp.float32), levels)
+    new_pts, ok = lk_track_pyramidal(
+        pa, pb, jnp.asarray(pts, jnp.float32),
+        jnp.asarray(np.asarray(valid, bool)),
+        win=win, iters=iters, fb_thresh=fb_thresh,
+    )
+    import numpy as _np
+
+    return _np.asarray(new_pts), _np.asarray(ok)

