@@ -115,15 +115,27 @@ def lm_solve_vio(
     def total_cost(n: Normal):
         return n.cost
 
+    Dt = layout.D  # true tangent dim; cols Dt..D_pad-1 are pure padding
+
     def _chol_solve_neg(H_red, g_red):
         """dx = -H_red^{-1} g_red with optional iterative refinement
-        (recovers float32 precision on ill-conditioned systems)."""
-        chol = jax.scipy.linalg.cho_factor(H_red)
-        dx = -jax.scipy.linalg.cho_solve(chol, g_red)
+        (recovers float32 precision on ill-conditioned systems).
+
+        Factors only the true [Dt, Dt] system: the padding columns are
+        identity rows with zero gradient (dx there is identically 0),
+        and TPU's Cholesky custom-call is the batched solve's dominant
+        cost — it blocks into 128-wide panels, so factoring the padded
+        [D_pad, D_pad] (e.g. 256 vs a true 178) nearly doubles its
+        serial panel work (profiler-measured 68% of device time,
+        round 5)."""
+        Hc = H_red[:Dt, :Dt]
+        gc = g_red[:Dt]
+        chol = jax.scipy.linalg.cho_factor(Hc)
+        dxc = -jax.scipy.linalg.cho_solve(chol, gc)
         for _ in range(refine_steps):
-            res = H_red @ dx + g_red
-            dx = dx - jax.scipy.linalg.cho_solve(chol, res)
-        return dx
+            res = Hc @ dxc + gc
+            dxc = dxc - jax.scipy.linalg.cho_solve(chol, res)
+        return jnp.zeros_like(g_red).at[:Dt].set(dxc)
 
     # Hpl lives in the compact G = 6W+6C+1 pose space (Normal
     # docstring); the Schur product happens there and embeds into the

@@ -46,6 +46,8 @@ from d2slam_tpu.solver.vio_assembly import (
     _huber_weight,
     _proj_residual_unified,
     _tangent_base,
+    take_flags,
+    take_row,
 )
 
 
@@ -127,11 +129,11 @@ def build_proj_normal(
     tb = jax.vmap(_tangent_base)(meas.ray_j)
 
     def linearize_one(fi, fj, ci, cj, lm, m):
-        pose_i = state.poses[fi]
-        pose_j = state.poses[fj]
-        ext_i = state.ext[ci]
-        ext_j = state.ext[cj]
-        inv_dep = state.inv_dep[lm]
+        pose_i = take_row(state.poses, fi)
+        pose_j = take_row(state.poses, fj)
+        ext_i = take_row(state.ext, ci)
+        ext_j = take_row(state.ext, cj)
+        inv_dep = take_row(state.inv_dep, lm)
         td = state.td
 
         def f(d_pi, d_pj, d_ei, d_ej, d_l, d_td):
@@ -169,7 +171,8 @@ def build_proj_normal(
     w2 = jnp.asarray(proj_sqrt_info, dtype)
     w3 = jnp.asarray(dep_sqrt_info, dtype)
     valid = meas.valid & state.lm_valid[meas.lm] \
-        & state.frame_valid[meas.frame_i] & state.frame_valid[meas.frame_j]
+        & take_flags(state.frame_valid, meas.frame_i) \
+        & take_flags(state.frame_valid, meas.frame_j)
 
     sq = jnp.sum((w2 * r[:, :2]) ** 2, axis=-1)
     hw, rho = _huber_weight(sq, huber_delta)
@@ -260,9 +263,9 @@ def build_proj_normal_pos3d(
     tb = jax.vmap(_tangent_base)(meas.ray_j)
 
     def linearize_one(fj, cj, lm, m):
-        pose_j = state.poses[fj]
-        ext_j = state.ext[cj]
-        pw = state.lm_pos[lm]
+        pose_j = take_row(state.poses, fj)
+        ext_j = take_row(state.ext, cj)
+        pw = take_row(state.lm_pos, lm)
         td = state.td
 
         def f(d_pj, d_ej, d_l, d_td):
@@ -314,7 +317,7 @@ def build_proj_normal_pos3d(
     w2 = jnp.asarray(proj_sqrt_info, dtype)
     w3 = jnp.asarray(dep_sqrt_info, dtype)
     valid = meas.valid & state.lm_valid[meas.lm] \
-        & state.frame_valid[meas.frame_j]
+        & take_flags(state.frame_valid, meas.frame_j)
     sq = jnp.sum((w2 * r[:, :2]) ** 2, axis=-1)
     hw, rho = _huber_weight(sq, huber_delta)
     row_w = jnp.stack(

@@ -40,6 +40,26 @@ class RowBlock(NamedTuple):
     cost: jax.Array
 
 
+def take_row(table, idx):
+    """``table[idx]`` for a traced scalar index via one-hot
+    contraction. Under vmap this becomes one [M, n] x [n, cols] MXU
+    GEMM instead of TPU's serializing gather custom-call
+    (GatherScatterIndicesBitpacked: measured ~40% of the B=128
+    batched-solve device time in round 5). Tables here are tiny
+    (W/C/L rows), so the one-hot is cheap."""
+    n = table.shape[0]
+    oh = (jnp.arange(n, dtype=jnp.int32) == idx).astype(table.dtype)
+    return jnp.tensordot(oh, table, axes=1)
+
+
+def take_flags(flags, idx):
+    """``flags[idx]`` ([M] bool from a tiny bool table) as a one-hot
+    matmul; same rationale as take_row."""
+    n = flags.shape[0]
+    oh = (idx[:, None] == jnp.arange(n, dtype=jnp.int32)).astype(jnp.float32)
+    return (oh @ flags.astype(jnp.float32)) > 0.5
+
+
 def place_block(J, col0, D):
     """Place a [r, k] Jacobian block at column offset ``col0`` of a
     [r, D] row via a one-hot matmul — the TPU-friendly alternative to
@@ -113,11 +133,11 @@ def build_proj_rows(
     )(meas.ray_j)
 
     def linearize_one(fi, fj, ci, cj, lm, m):
-        pose_i = state.poses[fi]
-        pose_j = state.poses[fj]
-        ext_i = state.ext[ci]
-        ext_j = state.ext[cj]
-        inv_dep = state.inv_dep[lm]
+        pose_i = take_row(state.poses, fi)
+        pose_j = take_row(state.poses, fj)
+        ext_i = take_row(state.ext, ci)
+        ext_j = take_row(state.ext, cj)
+        inv_dep = take_row(state.inv_dep, lm)
         td = state.td
 
         def f(d_pi, d_pj, d_ei, d_ej, d_l, d_td):
@@ -169,7 +189,8 @@ def build_proj_rows(
     w2 = jnp.asarray(proj_sqrt_info, dtype)
     w3 = jnp.asarray(dep_sqrt_info, dtype)
     valid = meas.valid & state.lm_valid[meas.lm] \
-        & state.frame_valid[meas.frame_i] & state.frame_valid[meas.frame_j]
+        & take_flags(state.frame_valid, meas.frame_i) \
+        & take_flags(state.frame_valid, meas.frame_j)
 
     # robust weighting on the weighted 2-dof part
     sq = jnp.sum((w2 * r[:, :2]) ** 2, axis=-1)
@@ -218,9 +239,9 @@ def build_proj_rows_pos3d(
     tb = jax.vmap(lambda r: _tangent_base(r))(meas.ray_j)
 
     def linearize_one(fj, cj, lm, m):
-        pose_j = state.poses[fj]
-        ext_j = state.ext[cj]
-        pw = state.lm_pos[lm]
+        pose_j = take_row(state.poses, fj)
+        ext_j = take_row(state.ext, cj)
+        pw = take_row(state.lm_pos, lm)
         td = state.td
 
         def f(d_pj, d_ej, d_l, d_td):
@@ -272,7 +293,7 @@ def build_proj_rows_pos3d(
     w2 = jnp.asarray(proj_sqrt_info, dtype)
     w3 = jnp.asarray(dep_sqrt_info, dtype)
     valid = meas.valid & state.lm_valid[meas.lm] \
-        & state.frame_valid[meas.frame_j]
+        & take_flags(state.frame_valid, meas.frame_j)
 
     sq = jnp.sum((w2 * r[:, :2]) ** 2, axis=-1)
     hw, rho = _huber_weight(sq, huber_delta)
@@ -321,8 +342,8 @@ def build_imu_rows(
     dtype = state.poses.dtype
 
     def linearize_one(fi, fj, pre, sqrt_info):
-        pose_i, sb_i = state.poses[fi], state.sb[fi]
-        pose_j, sb_j = state.poses[fj], state.sb[fj]
+        pose_i, sb_i = take_row(state.poses, fi), take_row(state.sb, fi)
+        pose_j, sb_j = take_row(state.poses, fj), take_row(state.sb, fj)
 
         def f(d_pi, d_si, d_pj, d_sj):
             return imu_residual(
@@ -346,7 +367,8 @@ def build_imu_rows(
 
     r, rows = jax.vmap(linearize_one)(imu.frame_i, imu.frame_j, imu.pre, imu.sqrt_info)
 
-    valid = imu.valid & state.frame_valid[imu.frame_i] & state.frame_valid[imu.frame_j]
+    valid = (imu.valid & take_flags(state.frame_valid, imu.frame_i)
+             & take_flags(state.frame_valid, imu.frame_j))
     w = valid.astype(dtype)[:, None]
     K = imu.frame_i.shape[0]
     N = K * 15
