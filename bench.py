@@ -415,13 +415,12 @@ def bench_retrieval_precision():
                            "weights", "netvlad_synth.npz")
     if not os.path.exists(nv_path):
         return {}
-    from d2slam_tpu.frontend.netvlad import NetVLADConfig
+    from d2slam_tpu.frontend.netvlad import netvlad_cfg_from_params
     from d2slam_tpu.frontend.train_frontend import load_weights
     from d2slam_tpu.utils.evaluation import retrieval_pr_aliasing
 
     nv = load_weights(nv_path)
-    out_dim = int(nv["vlad_assign"]["w"].shape[-1]) * 64
-    cfg = NetVLADConfig(num_clusters=out_dim // 64, output_dim=out_dim)
+    cfg = netvlad_cfg_from_params(nv)
     r = retrieval_pr_aliasing(nv, cfg)
     return {
         "netvlad_alias_precision_at_0p8": round(r["precision_at_0p8"], 3),

@@ -90,14 +90,33 @@ class KeyframeEntry(NamedTuple):
 
 class LoopDetector:
     def __init__(self, cfg: LoopDetectorConfig, extrinsics: np.ndarray,
-                 matcher_fn=None):
+                 matcher_fn=None, lm_pos_fn=None, kf_pose_fn=None):
         """matcher_fn: optional learned matcher ``f(desc_a, rays_a,
         valid_a, desc_b, rays_b, valid_b) -> (idx, ok)`` replacing the
         nearest-neighbor descriptor matching (reference
-        enable_superglue_remote; wire frontend.superglue here)."""
+        enable_superglue_remote; wire frontend.superglue here).
+
+        lm_pos_fn: optional ``f(drone_id, lm_ids [K]) -> [K, 3]``
+        returning the CURRENT landmark position estimates (nan where
+        unknown). DB entries snapshot positions at insertion, but most
+        landmarks triangulate/refine AFTER their keyframe was inserted
+        — verifying old loops against stale nan positions starves the
+        PnP of correspondences (measured: 51-69 raw matches per
+        inter-robot loop collapse to 26-44 with 3D). The reference
+        verifies against its live landmark DB
+        (d2frontend/src/loop_detector.cpp:254-330 uses current
+        estimates), which this hook reproduces."""
         self.cfg = cfg
         self.ext = np.asarray(extrinsics)
         self.matcher_fn = matcher_fn
+        self.lm_pos_fn = lm_pos_fn
+        # optional ``f(drone_id, frame_id) -> [7] | None``: the CURRENT
+        # best estimate of a DB keyframe's pose. The PnP pose solves in
+        # the refreshed landmark positions' (current-map) frame, so
+        # composing it with the stale insertion-time snapshot pose
+        # mixes frames across VIO drift; the reference keeps keyframe
+        # poses live (moveAllPoses / getFrame current state)
+        self.kf_pose_fn = kf_pose_fn
         self.entries: List[KeyframeEntry] = []
         self.gdesc = np.zeros((cfg.max_db, cfg.gdesc_dim), np.float32)
         self.valid = np.zeros(cfg.max_db, bool)
@@ -160,6 +179,37 @@ class LoopDetector:
 
     # ------------------------------------------------------------------
 
+    def _refresh_positions(self, idx: int, old: KeyframeEntry
+                           ) -> KeyframeEntry:
+        """Fill nan landmark positions of a DB entry from the live
+        estimate source (lm_pos_fn docstring). Finite positions are
+        kept — refreshes only ADD correspondences, so a reference-frame
+        shift on the source side can never corrupt already-consistent
+        entries. The refreshed entry is written back to the DB."""
+        if self.lm_pos_fn is None or len(old.lm_ids) != len(old.kpt_valid):
+            return old
+        missing = ~np.isfinite(old.lm_positions).all(axis=1)
+        if not missing.any():
+            return old
+        fresh = np.asarray(
+            self.lm_pos_fn(old.drone_id, old.lm_ids), np.float64
+        ).reshape(-1, 3)
+        got = missing & np.isfinite(fresh).all(axis=1)
+        if not got.any():
+            return old
+        pos = old.lm_positions.copy()
+        pos[got] = fresh[got]
+        old = old._replace(lm_positions=pos)
+        self.entries[idx] = old
+        return old
+
+    def _current_pose(self, e: KeyframeEntry) -> np.ndarray:
+        if self.kf_pose_fn is not None:
+            p = self.kf_pose_fn(e.drone_id, e.frame_id)
+            if p is not None:
+                return np.asarray(p, np.float64)
+        return np.asarray(e.pose, np.float64)
+
     def detect(self, entry: KeyframeEntry, gdesc: np.ndarray
                ) -> Optional[LoopEdge]:
         """Query the DB for a loop closure for this keyframe. Queries
@@ -195,6 +245,7 @@ class LoopDetector:
         if score < self.effective_netvlad_thres():
             return None
         old = self.entries[best]
+        old = self._refresh_positions(best, old)
 
         # descriptor matching new->old
         if self.matcher_fn is not None:
@@ -287,7 +338,10 @@ class LoopDetector:
         # acceptance gates vs ego-motion odometry (yaw/pos gating): the
         # PnP pose is in OLD's world frame; the implied relative pose
         # old_T_new must be consistent for intra-drone loops
-        rel = np_lie.pose_compose(np_lie.pose_inverse(old.pose), T_w_body)
+        old_pose_now = self._current_pose(old)
+        rel = np_lie.pose_compose(
+            np_lie.pose_inverse(old_pose_now), T_w_body
+        )
         if entry.drone_id == old.drone_id:
             odo_rel = np_lie.pose_compose(
                 np_lie.pose_inverse(old.pose), entry.pose

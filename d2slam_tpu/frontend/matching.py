@@ -227,7 +227,11 @@ def match_descriptors_radius(desc_a, desc_b, pts_pred_a, pts_b,
     pts_pred_a = np.asarray(pts_pred_a, np.float32)
     pts_b = np.asarray(pts_b, np.float32)
     sim = desc_a @ desc_b.T
-    d2 = ((pts_pred_a[:, None, :] - pts_b[None, :, :]) ** 2).sum(-1)
+    # |a-b|^2 via the GEMM identity (the broadcasted [N, M, 2] form
+    # costs more than the descriptor GEMM itself on small hosts)
+    d2 = ((pts_pred_a ** 2).sum(1)[:, None]
+          + (pts_b ** 2).sum(1)[None, :]
+          - 2.0 * (pts_pred_a @ pts_b.T))
     mask = (np.asarray(valid_a, bool)[:, None]
             & np.asarray(valid_b, bool)[None, :]
             & (d2 <= radius * radius))

@@ -24,6 +24,8 @@ class NetVLADConfig:
     feat_dim: int = 64        # backbone output channels
     output_dim: int = 4096    # num_clusters * feat_dim
     pca_dim: int = 0          # reference: netvlad_pca_dims 1024
+    width_mult: float = 1.0   # backbone channel multiplier (init only;
+    #                           apply derives structure from the params)
 
 
 _BACKBONE = [
@@ -36,11 +38,50 @@ _BACKBONE = [
 ]
 
 
+def _backbone_spec(cfg: NetVLADConfig):
+    """Channel plan scaled by ``width_mult``; the final stage always
+    lands on ``feat_dim`` (the VLAD descriptor dimension)."""
+    m = cfg.width_mult
+
+    def c(n):
+        return max(8, int(round(n * m)))
+
+    return [
+        ("stem", "conv", 1, c(16), 2),
+        ("ds1", "dsconv", c(16), c(32), 2),
+        ("ds2", "dsconv", c(32), c(64), 2),
+        ("ds3", "dsconv", c(64), cfg.feat_dim, 2),
+        ("ds4", "dsconv", cfg.feat_dim, cfg.feat_dim, 1),
+    ]
+
+
+def netvlad_cfg_from_params(params: Dict) -> NetVLADConfig:
+    """Infer the config from a loaded weight tree (cluster count and
+    feature dim come from vlad_centers; pca_dim from the stored
+    projection) — callers never hard-code descriptor dims."""
+    K, D = np.asarray(params["vlad_centers"]).shape
+    pca = params.get("pca")
+    pca_dim = int(np.asarray(pca["proj"]).shape[-1]) if pca is not None else 0
+    return NetVLADConfig(num_clusters=int(K), feat_dim=int(D),
+                         output_dim=int(K * D), pca_dim=pca_dim)
+
+
+def netvlad_output_dim(params: Dict) -> int:
+    """Dimensionality of the descriptor netvlad_apply(params, .) emits."""
+    cfg = netvlad_cfg_from_params(params)
+    d = cfg.pca_dim or cfg.output_dim
+    pca = params.get("pca")
+    if pca is not None and "alpha" in pca:
+        d += 1  # the gate-calibration constant component
+    return d
+
+
 def netvlad_init(key, cfg: NetVLADConfig = NetVLADConfig(),
                  dtype=jnp.float32) -> Dict:
     params = {}
-    keys = jax.random.split(key, len(_BACKBONE) + 2)
-    for i, (name, kind, cin, cout, _) in enumerate(_BACKBONE):
+    spec = _backbone_spec(cfg)
+    keys = jax.random.split(key, len(spec) + 2)
+    for i, (name, kind, cin, cout, _) in enumerate(spec):
         if kind == "conv":
             params[name] = _conv_init(keys[i], 3, cin, cout, dtype)
         else:
@@ -89,13 +130,17 @@ def netvlad_apply(params: Dict, img: jax.Array,
     """img: [B, H, W, 1] -> [B, output_dim] (or pca_dim) L2-normalized."""
     x = img
     relu = jax.nn.relu6
-    for (name, kind, cin, cout, stride) in _BACKBONE:
+    # structure comes from the PARAMS (any width_mult round-trips
+    # through save/load without config bookkeeping); strides are fixed
+    for name, stride in (("stem", 2), ("ds1", 2), ("ds2", 2),
+                         ("ds3", 2), ("ds4", 1)):
         p = params[name]
-        if kind == "conv":
-            x = relu(_conv(x, p, stride))
-        else:
+        if "dw" in p:
+            cin = p["dw"]["w"].shape[-1]
             x = relu(_conv(x, p["dw"], stride, groups=cin))
             x = relu(_conv(x, p["pw"], 1))
+        else:
+            x = relu(_conv(x, p, stride))
 
     B, H, W, D = x.shape
     feats = x.reshape(B, H * W, D)
@@ -115,6 +160,20 @@ def netvlad_apply(params: Dict, img: jax.Array,
         p = params["pca"]
         v = (v - p["mean"]) @ p["proj"]
         v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+        if "alpha" in p:
+            # gate calibration (train_frontend.calibrate_netvlad_gate):
+            # a constant unit-sphere component maps cosine similarity
+            # affinely, s' = alpha^2 s + beta^2, so the embedding's
+            # empirical operating point lands exactly on the
+            # reference's fixed 0.8 retrieval threshold
+            # (loop_detection_netvlad_thres). Wire format unchanged:
+            # still a unit vector, dot-product similarity.
+            B = v.shape[0]
+            v = jnp.concatenate(
+                [v * p["alpha"],
+                 jnp.broadcast_to(p["beta"], (B, 1)).astype(v.dtype)],
+                axis=-1,
+            )
     return v
 
 

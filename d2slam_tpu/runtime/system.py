@@ -235,17 +235,16 @@ class D2SLAMSystem:
             import jax as _jax
 
             from d2slam_tpu.frontend.netvlad import (
-                NetVLADConfig,
                 netvlad_apply,
+                netvlad_cfg_from_params,
+                netvlad_output_dim,
             )
             from d2slam_tpu.frontend.train_frontend import load_weights
             from d2slam_tpu.utils.placement import PackedAccelFn
 
             nv_params = load_weights(sys_cfg.netvlad_weights)
-            out_dim = int(nv_params["vlad_assign"]["w"].shape[-1]) * 64
-            nv_cfg = NetVLADConfig(
-                num_clusters=out_dim // 64, output_dim=out_dim,
-            )
+            nv_cfg = netvlad_cfg_from_params(nv_params)
+            out_dim = netvlad_output_dim(nv_params)
             if out_dim != sys_cfg.gdesc_dim:
                 raise ValueError(
                     f"netvlad weights produce {out_dim}-d descriptors "
@@ -337,8 +336,50 @@ class D2SLAMSystem:
         )
 
         lc = loop_cfg or LoopDetectorConfig(gdesc_dim=sys_cfg.gdesc_dim)
+        # latest wire-reported position per REMOTE landmark: keeps loop
+        # verification against remote keyframes supplied with fresh 3D
+        # even when the entry predates the landmark's triangulation
+        self._remote_lm_pos: Dict[Tuple[int, int], np.ndarray] = {}
+
+        def lm_pos_fn(drone_id: int, lm_ids) -> np.ndarray:
+            out = np.full((len(lm_ids), 3), np.nan)
+            if drone_id == self.drone_id:
+                db = self.estimator.lmanager.db
+                for k, lid in enumerate(lm_ids):
+                    lm = db.get(int(lid))
+                    if lm is not None and lm.position is not None:
+                        out[k] = lm.position
+            else:
+                for k, lid in enumerate(lm_ids):
+                    p = self._remote_lm_pos.get((drone_id, int(lid)))
+                    if p is not None:
+                        out[k] = p
+            return out
+
+        def kf_pose_fn(drone_id: int, frame_id: int):
+            # current best estimate of one of OUR keyframes: sliding
+            # window first (most recent), then the optimized PGO table.
+            # Remote entries return None — their landmark refreshes are
+            # in the SENDER's frame, which the stale snapshot pose
+            # already matches.
+            if drone_id != self.drone_id:
+                return None
+            est = self.estimator
+            for w, fr in enumerate(getattr(est, "frames", [])):
+                if fr.frame_id == frame_id and fr.drone_id in (-1,
+                                                               drone_id):
+                    return np.asarray(est.state.poses[w], np.float64)
+            slot = self._pgo_slot.get((drone_id, frame_id))
+            if slot is not None and self.pgo_solve_count \
+                    and self._pgo_poses is not None:
+                with self._pgo_lock:
+                    return self._pgo_poses[slot].copy()
+            return None
+
         self.detector = LoopDetector(lc, self.ext,
-                                     matcher_fn=loop_matcher_fn)
+                                     matcher_fn=loop_matcher_fn,
+                                     lm_pos_fn=lm_pos_fn,
+                                     kf_pose_fn=kf_pose_fn)
         self.swarm = SwarmManager(self.drone_id, self.detector)
 
         if sys_cfg.estimation_mode in ("distributed", "server"):
@@ -816,6 +857,11 @@ class D2SLAMSystem:
         )
 
     def _on_remote_keyframe(self, pkt: RemoteKeyframePacket) -> None:
+        if len(pkt.lm_pos3d) == len(pkt.lm_ids):
+            fin = np.isfinite(pkt.lm_pos3d).all(axis=1)
+            for lid, p in zip(np.asarray(pkt.lm_ids)[fin],
+                              np.asarray(pkt.lm_pos3d, np.float64)[fin]):
+                self._remote_lm_pos[(pkt.drone_id, int(lid))] = p
         edge = self.swarm.on_remote_keyframe(pkt)
         # map merge toward the lower reference frame (reference
         # addFrameRemote, d2estimator.cpp:274-281: P_w_ki yaw-only,

@@ -13,13 +13,12 @@ NV_W = os.path.join(WDIR, "netvlad_synth.npz")
 @pytest.mark.skipif(not os.path.exists(NV_W),
                     reason="trained NetVLAD weights not present")
 def test_retrieval_precision_under_aliasing():
-    from d2slam_tpu.frontend.netvlad import NetVLADConfig
+    from d2slam_tpu.frontend.netvlad import netvlad_cfg_from_params
     from d2slam_tpu.frontend.train_frontend import load_weights
     from d2slam_tpu.utils.evaluation import retrieval_pr_aliasing
 
     nv = load_weights(NV_W)
-    out_dim = int(nv["vlad_assign"]["w"].shape[-1]) * 64
-    cfg = NetVLADConfig(num_clusters=out_dim // 64, output_dim=out_dim)
+    cfg = netvlad_cfg_from_params(nv)
     r = retrieval_pr_aliasing(nv, cfg)
     print(f"aliasing P@0.8 {r['precision_at_0p8']:.2f} "
           f"R@0.8 {r['recall_at_0p8']:.2f}; best-F1 op: thres "
