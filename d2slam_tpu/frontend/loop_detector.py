@@ -61,6 +61,12 @@ class LoopDetectorConfig:
     # pnp_utils.cpp:66-93: sin of the angle between the two
     # body-frame gravity directions). Applies to inter-drone loops too.
     gravity_check_thres: float = 0.06
+    # RANSAC hypothesis budget for loop PnP. With ~50% usable
+    # correspondences a 6-point sample is all-inlier with p ~ 1.6%, so
+    # 100 iterations expects <2 clean hypotheses — the consensus (and
+    # the verified-inlier count the reference gates on,
+    # loop_inlier_feature_num 50) grows directly with this budget.
+    pnp_iters: int = 300
 
 
 class LoopEdge(NamedTuple):
@@ -319,6 +325,7 @@ class LoopDetector:
             old.lm_positions[midx[sel]],
             thresh=self.cfg.pnp_thresh,
             min_inliers=self.cfg.min_inliers,
+            iters=self.cfg.pnp_iters,
         )
         if T_w_body is None or inl.sum() < self.cfg.min_inliers:
             return None

@@ -199,6 +199,13 @@ def main():
             lr=3e-4, pos_margin=0.92, neg_margin=0.35, margin_weight=4.0,
             log_every=max(args.nv_steps // 8, 1),
         )
+        from d2slam_tpu.frontend.train_frontend import (
+            calibrate_netvlad_gate,
+        )
+
+        nv_params = calibrate_netvlad_gate(nv_params, nv_cfg_p,
+                                           target=0.8,
+                                           min_precision=0.97)
         print(f"netvlad: {args.nv_steps} steps in {time.time()-t0:.0f}s, "
               f"loss {nv_losses[0]:.3f} -> "
               f"{sum(nv_losses[-20:])/20:.3f}", flush=True)
