@@ -314,7 +314,21 @@ def bench_superpoint():
     imgs2 = jnp.stack([img] * 2)
     two = jax.jit(jax.vmap(lambda im: superpoint_extract(params, im, cfg)))
     ms2 = _time_ms(two, (imgs2,), n=30)
-    return ms1, fl1, ms4, ms_bf, ms2
+    # profiler-measured DEVICE-BUSY time (splits kernel time from the
+    # per-call dispatch overhead, which is link latency on a tunneled
+    # chip and ~0 on a locally attached one)
+    from d2slam_tpu.utils.tpu_profile import profile_device_program
+
+    prof1 = profile_device_program(one_bf, (img,), iters=20)
+    prof4 = profile_device_program(
+        jax.jit(jax.vmap(lambda im: superpoint_extract(
+            params, im, cfg_bf))), (imgs4,), iters=10)
+    dev = {}
+    if prof1:
+        dev["superpoint_device_ms"] = round(prof1["device_ms"], 3)
+    if prof4:
+        dev["quad_sp_device_ms"] = round(prof4["device_ms"], 3)
+    return ms1, fl1, ms4, ms_bf, ms2, dev
 
 
 def bench_hitnet():
@@ -438,7 +452,8 @@ def main():
 
     (ba_ms, ba_fl, ba_by, ba_dtype, ba_b_ms, ba_b,
      ba_b_fl, ba_prof) = bench_ba()
-    sp_ms, sp_fl, sp4_ms, sp_bf16_ms, sp2_ms = bench_superpoint()
+    (sp_ms, sp_fl, sp4_ms, sp_bf16_ms, sp2_ms,
+     sp_dev) = bench_superpoint()
     hn_ms, hn_fl = bench_hitnet()
     pg_ms, pg_fl, pgd_ms, pgd_fl = bench_pgo1k()
     (sys_kf_s, sys_frame_ms, sys_kf, sys_kf_s_pipe,
@@ -464,6 +479,7 @@ def main():
             "superpoint_ms": round(sp_ms, 3),
             "superpoint_bf16_ms": round(sp_bf16_ms, 3),
             "quad_sp_ms": round(sp4_ms, 3),
+            **sp_dev,
             # device cost of one stereo keyframe: CNN on both views +
             # the full sliding-window BA solve (reference budget: 20 Hz
             # frontend + 80 ms solver on Xavier NX)
