@@ -67,6 +67,12 @@ class LoopDetectorConfig:
     # the verified-inlier count the reference gates on,
     # loop_inlier_feature_num 50) grows directly with this budget.
     pnp_iters: int = 300
+    # inlier-count-scaled loop covariance: the PnP pose variance
+    # shrinks ~1/N_inliers, so a 15-inlier loop should pull the graph
+    # ~3x more weakly than the reference's 50-inlier operating point
+    # (loop_inlier_feature_num). cov_eff = cov * max(1, ref/inliers);
+    # 0 disables (fixed covariance, the reference's behavior).
+    cov_inlier_ref: int = 50
 
 
 class LoopEdge(NamedTuple):
@@ -361,13 +367,16 @@ class LoopDetector:
                dyaw > np.deg2rad(self.cfg.max_yaw_deg * 5):
                 return None
 
+        n_inl = int(inl.sum())
+        cov_scale = (max(1.0, self.cfg.cov_inlier_ref / max(n_inl, 1))
+                     if self.cfg.cov_inlier_ref else 1.0)
         return LoopEdge(
             frame_id_a=old.frame_id,
             frame_id_b=entry.frame_id,
             drone_id_a=old.drone_id,
             drone_id_b=entry.drone_id,
             rel_pose=rel,
-            pos_cov=self.cfg.pos_cov,
-            yaw_cov=self.cfg.yaw_cov,
-            inliers=int(inl.sum()),
+            pos_cov=self.cfg.pos_cov * cov_scale,
+            yaw_cov=self.cfg.yaw_cov * cov_scale,
+            inliers=n_inl,
         )

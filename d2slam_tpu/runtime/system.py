@@ -246,10 +246,13 @@ class D2SLAMSystem:
             nv_cfg = netvlad_cfg_from_params(nv_params)
             out_dim = netvlad_output_dim(nv_params)
             if out_dim != sys_cfg.gdesc_dim:
-                raise ValueError(
-                    f"netvlad weights produce {out_dim}-d descriptors "
-                    f"but gdesc_dim={sys_cfg.gdesc_dim}"
-                )
+                # the descriptor dimensionality is a property of the
+                # LOADED network (PCA dims + the gate-calibration
+                # component), exactly as the reference reads it from
+                # the ONNX model (mobilenetvlad_onnx.h output shape);
+                # the wire codec carries the dim per packet, so adopt
+                sys_cfg.gdesc_dim = out_dim
+                self._nv_gdesc_dim = out_dim
 
             # FUSED into the tracker's extraction program (one packed
             # device call per frame: images upload once, SuperPoint +
@@ -336,6 +339,10 @@ class D2SLAMSystem:
         )
 
         lc = loop_cfg or LoopDetectorConfig(gdesc_dim=sys_cfg.gdesc_dim)
+        nv_dim = getattr(self, "_nv_gdesc_dim", None)
+        if nv_dim is not None and lc.gdesc_dim != nv_dim:
+            # loaded NetVLAD weights define the true descriptor dim
+            lc = dataclasses.replace(lc, gdesc_dim=nv_dim)
         # latest wire-reported position per REMOTE landmark: keeps loop
         # verification against remote keyframes supplied with fresh 3D
         # even when the entry predates the landmark's triangulation

@@ -159,7 +159,7 @@ def test_golden_textured_swarm():
             # candidate, so the gates sit at reference-like operating
             # points (vs the blob-scene path's 4-match floor)
             loop_cfg=LoopDetectorConfig(gdesc_dim=1024, min_gap_frames=2,
-                                        min_inliers=12,
+                                        min_inliers=20,
                                         min_match_per_dir=8,
                                         pnp_thresh=16.0 / 460.0),
             frame_rate=sim.frame_hz,
