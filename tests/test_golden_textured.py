@@ -37,6 +37,12 @@ GOLDEN_TEXTURED_VIO_ATE = 0.18
 GOLDEN_TEXTURED_SWARM_RMSE = 0.35
 GOLDEN_TEXTURED_SWARM_MIN_BEST_INLIERS = 50
 
+# measured 0.081-0.109 m across runs at authoring time (16 frames,
+# outward 4-camera ring — depth only from motion; run-to-run spread
+# comes from BLAS-threading float nondeterminism in the host glue;
+# the blob-scene quadcam pin is 0.25)
+GOLDEN_TEXTURED_QUADCAM_ATE = 0.2
+
 
 def _make_cfg():
     from d2slam_tpu.config import D2Config
@@ -219,3 +225,78 @@ def test_golden_textured_swarm():
     rmse = float(np.sqrt(np.mean(np.square(errs))))
     print(f"textured swarm joint RMSE {rmse:.3f} m")
     assert rmse < GOLDEN_TEXTURED_SWARM_RMSE, rmse
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.exists(SP_W),
+                    reason="trained SuperPoint weights not present")
+def test_golden_textured_quadcam():
+    """FOURCORNER quadcam VIO on textured-room imagery: per-view
+    detection, cross-view ring association, estimator — the outward
+    ring has no stereo baseline, so depth comes from motion alone."""
+    from d2slam_tpu.config import D2Config
+    from d2slam_tpu.frontend.tracker import FeatureTracker, TrackerConfig
+    from d2slam_tpu.geometry.cameras import PinholeParams
+    from d2slam_tpu.utils.render import TexturedRoom
+    from d2slam_tpu.utils.sim import quadcam_extrinsics
+    from d2slam_tpu.vins.estimator import D2Estimator
+
+    from d2slam_tpu.frontend.superpoint import SuperPointConfig
+    from d2slam_tpu.frontend.train_frontend import load_weights
+
+    sp_params = load_weights(SP_W)
+    sp_cfg = SuperPointConfig(max_keypoints=150, threshold=0.010,
+                              nms_radius=4)
+    ext = quadcam_extrinsics()
+    sim = CircleSim(seed=7, n_landmarks=10, extrinsics=ext, fov_cos=0.5)
+    room = TexturedRoom(half=14.0, height=7.0, seed=5)
+
+    cfg = D2Config()
+    cfg.num_cams = 4
+    e = cfg.estimator
+    e.max_sld_win_size = 8
+    e.min_solve_frames = 4
+    e.max_lm_slots = 160
+    e.max_solve_measurements = 640
+    e.max_imu_samples = 128
+    e.max_solver_iters = 5
+    e.focal_length = FX
+
+    cams = [PinholeParams.make(FX, FY, CX, CY) for _ in range(4)]
+    tracker = FeatureTracker(
+        sp_params, sp_cfg, cams,
+        TrackerConfig(min_keyframe_parallax=4.0, search_radius=30.0),
+        frame_rate=sim.frame_hz, extrinsics=ext)
+    est = D2Estimator(cfg, ext)
+    for (t, a, g) in sim.imu_samples(-0.3, 0.0):
+        est.input_imu(t, a, g)
+
+    errs, align, t_prev, n_kf = [], None, 0.0, 0
+    for k in range(16):
+        t = k / sim.frame_hz
+        if k:
+            for (ts, a, g) in sim.imu_samples(t_prev + 1e-6, t + 1e-6):
+                est.input_imu(ts, a, g)
+        t_prev = t
+        pose_gt, _ = sim.gt_pose(t)
+        gain = 1.0 + 0.1 * np.sin(2.1 * t)
+        imgs = [room.render(np_lie.pose_compose(pose_gt, ext[c]),
+                            FX, FY, CX, CY, H, W, gain=gain,
+                            vignette=0.25)
+                for c in range(4)]
+        ff = tracker.process_quadcam(t, k, imgs)
+        if ff is None:
+            continue
+        od = est.input_frame(ff)
+        if od is None:
+            continue
+        n_kf += 1
+        if align is None:
+            align = np_lie.pose_compose(
+                od.pose.astype(np.float64), np_lie.pose_inverse(pose_gt))
+        errs.append(np.linalg.norm(
+            od.pose[:3] - np_lie.pose_compose(align, pose_gt)[:3]))
+    assert n_kf >= 10
+    rmse = float(np.sqrt(np.mean(np.square(errs))))
+    print(f"textured quadcam ATE {rmse:.3f} m over {n_kf} kf")
+    assert rmse < GOLDEN_TEXTURED_QUADCAM_ATE, rmse
