@@ -211,28 +211,43 @@ class FeatureTracker:
             def _norm(im):
                 return im.astype(jnp.float32) / 255.0
 
+            # descriptors download as f16 (PackedAccelFn's half-width
+            # lane): unit-norm values lose ~5e-4 per component — far
+            # under match-score noise — and the 200x256 block is ~half
+            # the extraction call's down-link bytes. kpts/scores stay
+            # f32 (f16 ulp at pixel 640 is 0.5 px — would destroy the
+            # subpixel refinement).
+            def _half_desc(out):
+                return out._replace(desc=out.desc.astype(jnp.float16))
+
+            def _full_desc(out):
+                return out._replace(desc=out.desc.astype(np.float32))
+
             packed_one = PackedAccelFn(
-                lambda p, img: superpoint_extract(p, _norm(img), sp_cfg),
+                lambda p, img: _half_desc(
+                    superpoint_extract(p, _norm(img), sp_cfg)),
                 device_args=(sp_params,),
             )
-            self._extract = lambda img, cam_id: packed_one(_img_u8(img))
+            self._extract = lambda img, cam_id: _full_desc(
+                packed_one(_img_u8(img)))
             if aux_img_fn is None:
                 packed_batch = PackedAccelFn(
                     lambda p, imgs: jax.vmap(
-                        lambda im: superpoint_extract(p, _norm(im), sp_cfg)
+                        lambda im: _half_desc(
+                            superpoint_extract(p, _norm(im), sp_cfg))
                     )(imgs),
                     device_args=(sp_params,),
                 )
 
                 def extract_batch(imgs):
                     self.last_aux = None
-                    return packed_batch(_img_u8(imgs))
+                    return _full_desc(packed_batch(_img_u8(imgs)))
             else:
                 packed_batch_aux = PackedAccelFn(
                     lambda p, ap, imgs: (
                         jax.vmap(
-                            lambda im: superpoint_extract(
-                                p, _norm(im), sp_cfg)
+                            lambda im: _half_desc(superpoint_extract(
+                                p, _norm(im), sp_cfg))
                         )(imgs),
                         aux_img_fn(ap, imgs),
                     ),
@@ -242,7 +257,7 @@ class FeatureTracker:
                 def extract_batch(imgs):
                     outs, aux = packed_batch_aux(_img_u8(imgs))
                     self.last_aux = aux
-                    return outs
+                    return _full_desc(outs)
 
             self._extract_batch = extract_batch
         else:

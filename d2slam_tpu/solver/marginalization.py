@@ -238,6 +238,66 @@ def solve_and_marginalize(
     return new_state, report, out_prior
 
 
+def permute_prior_device(
+    layout: VIOLayout, prior: PriorBlock, perm
+) -> PriorBlock:
+    """JAX-traceable ``permute_prior_frames`` (slot_map as a [W] int32
+    DEVICE array, -1 resetting a slot). Applied at the START of the
+    fused solve program so the dense prior can stay accelerator-
+    resident across window shifts (CarryAccelFn): the host records the
+    pending slot permutation instead of fetching ~270 KB of J both
+    ways every keyframe."""
+    W, D = layout.W, layout.D_pad
+    perm = jnp.asarray(perm, jnp.int32)
+    keep = perm >= 0
+    src = jnp.clip(perm, 0, W - 1)
+    col_idx = (src[:, None] * 15
+               + jnp.arange(15, dtype=jnp.int32)[None, :]).reshape(-1)
+    col_src = jnp.concatenate(
+        [col_idx, jnp.arange(15 * W, D, dtype=jnp.int32)]
+    )
+    col_keep = jnp.concatenate(
+        [jnp.repeat(keep, 15), jnp.ones((D - 15 * W,), bool)]
+    )
+    J = prior.J[:, col_src] * col_keep.astype(prior.J.dtype)[None, :]
+
+    lin = prior.lin
+    unit_q = jnp.asarray([0, 0, 0, 0, 0, 0, 1], lin.poses.dtype)
+    poses = jnp.where(keep[:, None], lin.poses[src], unit_q[None, :])
+    sb = jnp.where(keep[:, None], lin.sb[src], 0)
+    fv = keep & lin.frame_valid[src]
+    return prior._replace(
+        J=J,
+        lin=lin._replace(poses=poses, sb=sb, frame_valid=fv),
+    )
+
+
+def solve_and_marginalize_carry(
+    layout: VIOLayout,
+    prior: PriorBlock,   # DEVICE-RESIDENT carry (CarryAccelFn)
+    state: VIOState,
+    imu: ImuMeas,
+    proj: ProjMeas,
+    perm,                # [W] int32 pending window-shift slot map
+    remove_frames,
+    do_marg,
+    enable_fej,
+    **kw,
+):
+    """Carry-threaded variant of ``solve_and_marginalize``: the prior
+    rides as the device carry (first positional after device_args per
+    CarryAccelFn's contract), gets the host's pending window-shift
+    permutation applied on device, and the NEW prior is returned as
+    the carry — it never crosses the link. Returns
+    ``(new_prior, (new_state, report))``."""
+    prior = permute_prior_device(layout, prior, perm)
+    new_state, report, new_prior = solve_and_marginalize(
+        layout, state, imu, proj, prior, remove_frames, do_marg,
+        enable_fej, **kw,
+    )
+    return new_prior, (new_state, report)
+
+
 def make_pose_prior(
     layout: VIOLayout,
     state: VIOState,

@@ -174,7 +174,7 @@ class PackedAccelFn:
         dt_ms = (time.perf_counter() - t0) * 1e3
         with LinkStats._lock:
             LinkStats.call_ms += dt_ms
-            LinkStats.bytes_down += flat.nbytes
+            LinkStats.bytes_down += sum(b.nbytes for b in flat)
         return split(flat)
 
     def _build(self, treedef, leaves, dev, names=()):
@@ -211,9 +211,21 @@ class PackedAccelFn:
             out_template["def"] = out_def
             out_template["shapes"] = [o.shape for o in out_leaves]
             out_template["dtypes"] = [o.dtype for o in out_leaves]
-            return jnp.concatenate(
-                [o.astype(jnp.float32).reshape(-1) for o in out_leaves]
-            )
+            # two download lanes: f16 leaves stay half-width on the wire
+            # (the device fn opts descriptor-class outputs into f16 by
+            # casting; everything else rides f32)
+            out_template["lanes"] = [
+                "h" if o.dtype == jnp.float16 else "f" for o in out_leaves
+            ]
+            f_parts = [o.astype(jnp.float32).reshape(-1)
+                       for o in out_leaves if o.dtype != jnp.float16]
+            h_parts = [o.reshape(-1)
+                       for o in out_leaves if o.dtype == jnp.float16]
+            fflat = (jnp.concatenate(f_parts) if f_parts
+                     else jnp.zeros((1,), jnp.float32))
+            hflat = (jnp.concatenate(h_parts) if h_parts
+                     else jnp.zeros((1,), jnp.float16))
+            return fflat, hflat
 
         jitted = jax.jit(device_fn)
         bufs0 = _pack_host(leaves)
@@ -232,13 +244,209 @@ class PackedAccelFn:
         o_shapes = out_template["shapes"]
         o_dtypes = out_template["dtypes"]
         o_def = out_template["def"]
+        o_lanes = out_template["lanes"]
         o_sizes = [int(np.prod(s)) if len(s) else 1 for s in o_shapes]
-        offs = np.concatenate([[0], np.cumsum(o_sizes)]).astype(int)
 
         def split(flat):
+            fflat, hflat = flat
             outs = []
-            for k, (shp, dt) in enumerate(zip(o_shapes, o_dtypes)):
-                x = flat[offs[k]:offs[k + 1]].reshape(shp)
+            fo = ho = 0
+            for shp, dt, lane, n in zip(o_shapes, o_dtypes, o_lanes,
+                                        o_sizes):
+                if lane == "h":
+                    x = np.asarray(hflat[ho:ho + n]).reshape(shp)
+                    ho += n
+                else:
+                    x = np.asarray(fflat[fo:fo + n]).reshape(shp)
+                    fo += n
+                if dt == np.bool_:
+                    x = x > 0.5
+                elif np.issubdtype(dt, np.integer):
+                    x = np.rint(x).astype(dt)
+                elif x.dtype != dt:
+                    x = x.astype(dt)
+                outs.append(x)
+            return jax.tree_util.tree_unflatten(o_def, outs)
+
+        return packed_call, split
+
+
+class CarryAccelFn(PackedAccelFn):
+    """PackedAccelFn with a DEVICE-RESIDENT carry pytree.
+
+    ``fn(*device_args, carry, *args, **kw) -> (new_carry, out)``. The
+    carry never crosses the link on the steady path: ``set_carry``
+    commits it to the accelerator once, every call feeds the previous
+    call's on-device carry output straight back in, and only ``out``
+    rides the packed download. Host code that must read or mutate the
+    carry calls ``get_carry()`` (one explicit fetch) and ``set_carry``.
+
+    Motivation (round-5): the VIO dense prior (~270 KB: a D_pad^2
+    square-root information block) was re-uploaded AND re-downloaded
+    around every fused solve+marg call — 540 KB/keyframe, a third of
+    all link bytes on a tunneled TPU. The reference never pays this
+    because its prior lives in process memory next to Ceres
+    (d2vins/src/factors/prior_factor.cpp); the TPU-native equivalent
+    is to leave it in HBM.
+    """
+
+    def __init__(self, fn: Callable, device_args=()):
+        super().__init__(fn, device_args=device_args)
+        self._carry = None
+
+    def set_carry(self, carry) -> None:
+        """Commit a host pytree as the new device-resident carry."""
+        dev = accel_device()
+        leaves, cdef = jax.tree_util.tree_flatten(carry)
+        np_leaves = [np.asarray(x) for x in leaves]
+        if dev is not None:
+            up = sum(x.nbytes for x in np_leaves)
+            dev_leaves = [jax.device_put(x, dev) for x in np_leaves]
+            with LinkStats._lock:
+                LinkStats.bytes_up += up
+        else:
+            dev_leaves = np_leaves
+        self._carry = jax.tree_util.tree_unflatten(cdef, dev_leaves)
+
+    def get_carry(self):
+        """Fetch the carry to the host (np leaves; None before any
+        set_carry)."""
+        if self._carry is None:
+            return None
+        host = jax.tree_util.tree_map(
+            lambda x: np.asarray(jax.device_get(x)), self._carry
+        )
+        if accel_device() is not None:
+            down = sum(
+                np.asarray(x).nbytes
+                for x in jax.tree_util.tree_leaves(host)
+            )
+            with LinkStats._lock:
+                LinkStats.bytes_down += down
+        return host
+
+    @property
+    def has_carry(self) -> bool:
+        return self._carry is not None
+
+    def __call__(self, *args, **kwargs):
+        if self._carry is None:
+            raise RuntimeError("CarryAccelFn called before set_carry")
+        dev = accel_device()
+        if dev is None:
+            if self._plain is None:
+                self._plain = jax.jit(self.fn)
+            new_carry, out = self._plain(
+                *self.device_args, self._carry, *args, **kwargs
+            )
+            self._carry = new_carry
+            return out
+
+        names = tuple(sorted(kwargs))
+        bundle = (args, tuple(kwargs[k] for k in names))
+        leaves, treedef = jax.tree_util.tree_flatten(bundle)
+        key = (names, treedef, self._key(leaves))
+        entry = self._cache.get(key)
+        if entry is None:
+            with LinkStats._lock:
+                LinkStats.builds += 1
+            entry = self._build_carry(treedef, leaves, dev, names)
+            self._cache[key] = entry
+        packed_call, split = entry
+
+        import time
+
+        bufs = _pack_host(leaves)
+        with LinkStats._lock:
+            LinkStats.calls += 1
+            LinkStats.bytes_up += sum(b.nbytes for b in bufs)
+        t0 = time.perf_counter()
+        new_carry, out = packed_call(self._carry, *bufs)
+        jax.block_until_ready(out)
+        flat = jax.device_get(out)
+        self._carry = new_carry
+        dt_ms = (time.perf_counter() - t0) * 1e3
+        with LinkStats._lock:
+            LinkStats.call_ms += dt_ms
+            LinkStats.bytes_down += sum(b.nbytes for b in flat)
+        return split(flat)
+
+    def _build_carry(self, treedef, leaves, dev, names=()):
+        shapes = [np.asarray(x).shape for x in leaves]
+        dtypes = [np.asarray(x).dtype for x in leaves]
+        lanes = ["b" if d == np.uint8
+                 else "f" if np.issubdtype(d, np.floating) else "i"
+                 for d in dtypes]
+        sizes = [int(np.prod(s)) if len(s) else 1 for s in shapes]
+
+        out_template = {}
+
+        def device_fn(dev_args, carry, fbuf, ibuf, bbuf):
+            recon = []
+            fo = io_ = bo = 0
+            for shp, dt, lane, n in zip(shapes, dtypes, lanes, sizes):
+                if lane == "f":
+                    x = fbuf[fo:fo + n].reshape(shp)
+                    fo += n
+                elif lane == "b":
+                    x = bbuf[bo:bo + n].reshape(shp)
+                    bo += n
+                else:
+                    x = ibuf[io_:io_ + n].reshape(shp)
+                    io_ += n
+                    if dt == np.bool_:
+                        x = x.astype(bool)
+                    elif dt != np.int32:
+                        x = x.astype(dt)
+                recon.append(x)
+            args2, kw_vals = jax.tree_util.tree_unflatten(treedef, recon)
+            new_carry, out = self.fn(
+                *dev_args, carry, *args2, **dict(zip(names, kw_vals))
+            )
+            out_leaves, out_def = jax.tree_util.tree_flatten(out)
+            out_template["def"] = out_def
+            out_template["shapes"] = [o.shape for o in out_leaves]
+            out_template["dtypes"] = [o.dtype for o in out_leaves]
+            out_template["lanes"] = [
+                "h" if o.dtype == jnp.float16 else "f" for o in out_leaves
+            ]
+            f_parts = [o.astype(jnp.float32).reshape(-1)
+                       for o in out_leaves if o.dtype != jnp.float16]
+            h_parts = [o.reshape(-1)
+                       for o in out_leaves if o.dtype == jnp.float16]
+            fflat = (jnp.concatenate(f_parts) if f_parts
+                     else jnp.zeros((1,), jnp.float32))
+            hflat = (jnp.concatenate(h_parts) if h_parts
+                     else jnp.zeros((1,), jnp.float16))
+            return new_carry, (fflat, hflat)
+
+        jitted = jax.jit(device_fn)
+        bufs0 = _pack_host(leaves)
+        with jax.default_device(dev):
+            jitted.lower(self.device_args, self._carry, *bufs0)
+
+        def packed_call(carry, fb, ib, bb):
+            args_dev = jax.device_put((fb, ib, bb), dev)
+            return jitted(self.device_args, carry, *args_dev)
+
+        o_shapes = out_template["shapes"]
+        o_dtypes = out_template["dtypes"]
+        o_def = out_template["def"]
+        o_lanes = out_template["lanes"]
+        o_sizes = [int(np.prod(s)) if len(s) else 1 for s in o_shapes]
+
+        def split(flat):
+            fflat, hflat = flat
+            outs = []
+            fo = ho = 0
+            for shp, dt, lane, n in zip(o_shapes, o_dtypes, o_lanes,
+                                        o_sizes):
+                if lane == "h":
+                    x = np.asarray(hflat[ho:ho + n]).reshape(shp)
+                    ho += n
+                else:
+                    x = np.asarray(fflat[fo:fo + n]).reshape(shp)
+                    fo += n
                 if dt == np.bool_:
                     x = x > 0.5
                 elif np.issubdtype(dt, np.integer):

@@ -46,6 +46,7 @@ from d2slam_tpu.solver.marginalization import (
     marginalize,
     permute_prior_frames,
     solve_and_marginalize,
+    solve_and_marginalize_carry,
     zero_prior,
 )
 from d2slam_tpu.solver.state import ImuMeas, PriorBlock, ProjMeas, VIOState
@@ -153,7 +154,7 @@ class D2Estimator:
         self.state = self.state._replace(ext=jnp.asarray(extrinsics, self.dtype))
         self.fej_poses = np.zeros((self.layout.W, 7))
         self.fej_sb = np.zeros((self.layout.W, 9))
-        self.prior: Optional[PriorBlock] = None
+        self.prior = None  # routes through the prior property below
         self.initialized = False
         self.solve_count = 0
         self.margin_count = 0
@@ -194,10 +195,15 @@ class D2Estimator:
             )
         )
         # fused solve + window-management marginalization: ONE packed
-        # round trip per keyframe (the remote-link floor is per-call)
-        self._solve_marg = PackedAccelFn(
+        # round trip per keyframe (the remote-link floor is per-call),
+        # with the dense prior as a DEVICE-RESIDENT carry — its ~270 KB
+        # J block stays in HBM across keyframes; window shifts ride as
+        # a [W] slot permutation applied on device (CarryAccelFn)
+        from d2slam_tpu.utils.placement import CarryAccelFn
+
+        self._solve_marg = CarryAccelFn(
             functools.partial(
-                solve_and_marginalize,
+                solve_and_marginalize_carry,
                 self.layout,
                 gravity=self.gravity,
                 proj_sqrt_info=psi,
@@ -654,6 +660,36 @@ class D2Estimator:
             return global_frame_id(self.cfg.self_id, frame.frame_id)
         return int(frame.frame_id)
 
+    # ------------------------------------------------------------------
+    # dense prior residency
+    # ------------------------------------------------------------------
+    # On the fused-solve path the authoritative prior lives in the
+    # _solve_marg device carry (pre-permutation by _pending_perm); the
+    # host fetches it lazily. Every legacy read/write of `self.prior`
+    # (subclasses, map merges, FEJ, consensus) goes through this
+    # property, so those paths stay correct — they just pay one
+    # explicit fetch when they actually touch it.
+
+    @property
+    def prior(self) -> Optional[PriorBlock]:
+        if getattr(self, "_prior_dev", False):
+            blk = self._solve_marg.get_carry()
+            if self._pending_perm is not None:
+                blk = permute_prior_frames(
+                    self.layout, blk, self._pending_perm
+                )
+            self._pending_perm = None
+            self._prior_dev = False
+            self._prior_h = blk if self._prior_some else None
+        return getattr(self, "_prior_h", None)
+
+    @prior.setter
+    def prior(self, value: Optional[PriorBlock]) -> None:
+        self._prior_h = value
+        self._prior_dev = False
+        self._pending_perm = None
+        self._prior_some = value is not None
+
     def _zero_prior(self) -> PriorBlock:
         if getattr(self, "_zero_prior_cache", None) is None:
             self._zero_prior_cache = zero_prior(self.layout, self.dtype)
@@ -715,20 +751,33 @@ class D2Estimator:
             remove = np.zeros(self.layout.W, bool)
             if marg_slot >= 0:
                 remove[marg_slot] = True
-            prior_in = self.prior if self.prior is not None \
-                else self._zero_prior()
+            if not getattr(self, "_prior_dev", False):
+                # (re)commit the host prior to the device carry — only
+                # after host-side mutations (init, map merge, FEJ
+                # standalone path); the steady path never uploads it
+                self._solve_marg.set_carry(
+                    self._prior_h if self._prior_h is not None
+                    else self._zero_prior()
+                )
+                self._prior_dev = True
+                self._pending_perm = None
+            perm = (self._pending_perm
+                    if self._pending_perm is not None
+                    else np.arange(self.layout.W, dtype=np.int32))
+            self._pending_perm = None
             with self.perf.stage("lm_solve"):
-                new_state, report, new_prior = self._solve_marg(
-                    self.state, imu, proj, prior_in,
+                new_state, report = self._solve_marg(
+                    self.state, imu, proj,
+                    np.asarray(perm, np.int32),
                     remove, marg_slot >= 0,
                     bool(self.cfg.estimator.enable_fej
-                         and self.prior is not None),
+                         and self._prior_some),
                     col_free=self._col_free(),
                 )
                 jax.block_until_ready(new_state.poses)
             self.state = new_state
             if marg_slot >= 0:
-                self.prior = new_prior
+                self._prior_some = True
                 self.margin_count += 1
                 self._fused_marg_slot = marg_slot
         self.solve_count += 1
@@ -870,8 +919,22 @@ class D2Estimator:
         )
         self.fej_poses, self.fej_sb = new_fej_p, new_fej_sb
         self._meas_stale = True
-        if self.prior is not None:
-            self.prior = permute_prior_frames(self.layout, self.prior, slot_map)
+        if getattr(self, "_prior_dev", False):
+            # prior is device-resident: COMPOSE the shift into the
+            # pending permutation (applied on device at the next fused
+            # solve) instead of fetching 270 KB of J both ways
+            sm = np.asarray(slot_map, np.int32)
+            if self._pending_perm is None:
+                self._pending_perm = sm
+            else:
+                prev = self._pending_perm
+                self._pending_perm = np.where(
+                    sm >= 0, prev[np.clip(sm, 0, None)], -1
+                ).astype(np.int32)
+        elif getattr(self, "_prior_h", None) is not None:
+            self.prior = permute_prior_frames(
+                self.layout, self._prior_h, slot_map
+            )
         # consensus duals are keyed by frame id (attach_consensus), so
         # window shifts need no dual bookkeeping here
 
