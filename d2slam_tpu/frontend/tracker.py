@@ -239,9 +239,17 @@ class FeatureTracker:
                     device_args=(sp_params,),
                 )
 
+                def submit_batch(imgs):
+                    fut = packed_batch.submit(_img_u8(imgs))
+
+                    def resolve():
+                        self.last_aux = None
+                        return _full_desc(fut.result())
+
+                    return resolve
+
                 def extract_batch(imgs):
-                    self.last_aux = None
-                    return _full_desc(packed_batch(_img_u8(imgs)))
+                    return submit_batch(imgs)()
             else:
                 packed_batch_aux = PackedAccelFn(
                     lambda p, ap, imgs: (
@@ -254,15 +262,26 @@ class FeatureTracker:
                     device_args=(sp_params, aux_params),
                 )
 
+                def submit_batch(imgs):
+                    fut = packed_batch_aux.submit(_img_u8(imgs))
+
+                    def resolve():
+                        outs, aux = fut.result()
+                        self.last_aux = aux
+                        return _full_desc(outs)
+
+                    return resolve
+
                 def extract_batch(imgs):
-                    outs, aux = packed_batch_aux(_img_u8(imgs))
-                    self.last_aux = aux
-                    return _full_desc(outs)
+                    return submit_batch(imgs)()
+
+            self._submit_batch = submit_batch
 
             self._extract_batch = extract_batch
         else:
             self._extract = extract_fn
             self._extract_batch = None
+            self._submit_batch = None
         self._lm_ids = itertools.count(0)
         self.prev: Dict = {}          # last processed frame data
         self.last_kf: Dict = {}       # last keyframe data
@@ -560,14 +579,34 @@ class FeatureTracker:
 
     # ------------------------------------------------------------------
 
+    def submit_stereo_extraction(self, img_left, img_right):
+        """Dispatch the batched stereo extraction WITHOUT waiting
+        (PackedAccelFn.submit): returns a zero-arg resolver to pass as
+        ``process_stereo(..., extracted=...)``, or None when the
+        batched path is unavailable. The pipelined runtime uses this
+        to fly frame k+1's upload+CNN while frame k's host association
+        runs (the reference's decoupled CNN inference stream,
+        d2frontend/src/CNN/superpoint_tensorrt.cpp)."""
+        imgL = np.asarray(img_left, np.float32)
+        imgR = np.asarray(img_right, np.float32)
+        if self._submit_batch is None or imgL.shape != imgR.shape:
+            return None
+        return self._submit_batch(np.stack([imgL, imgR]))
+
     def process_stereo(self, stamp: float, frame_id: int,
-                       img_left: np.ndarray, img_right: np.ndarray
-                       ) -> Optional[FrontendFrame]:
-        """Returns a FrontendFrame when this frame is a keyframe."""
+                       img_left: np.ndarray, img_right: np.ndarray,
+                       extracted=None) -> Optional[FrontendFrame]:
+        """Returns a FrontendFrame when this frame is a keyframe.
+        ``extracted``: optional resolver from submit_stereo_extraction
+        (must have been submitted with THESE images)."""
         imgL = np.asarray(img_left, np.float32)
         imgR = np.asarray(img_right, np.float32)
         self.last_aux = None  # see process_multiview: no stale aux desc
-        if self._extract_batch is not None and imgL.shape == imgR.shape:
+        if extracted is not None:
+            outs = extracted()
+            outL = jax.tree_util.tree_map(lambda x: x[0], outs)
+            outR = jax.tree_util.tree_map(lambda x: x[1], outs)
+        elif self._extract_batch is not None and imgL.shape == imgR.shape:
             # one accelerator program for both views: single packed
             # upload/download instead of two round trips
             outs = self._extract_batch(np.stack([imgL, imgR]))

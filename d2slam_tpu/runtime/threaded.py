@@ -46,6 +46,10 @@ class PipelinedSystem:
         self._submitted = 0
         self._lock = threading.Lock()
         self._stop = False
+        # 1-frame extraction lookahead: frame k+1's upload+CNN flies
+        # (PackedAccelFn.submit) while frame k's host association runs
+        # on this thread — the reference's decoupled CNN stream
+        self._pending_fe = None  # (stamp, imgL, imgR, resolver)
         self._thread = threading.Thread(target=self._backend, daemon=True)
         self._thread.start()
 
@@ -59,11 +63,37 @@ class PipelinedSystem:
     def input_stereo(self, t: float, img_left, img_right) -> None:
         """Frontend stage on the CALLER thread (reference camera-cb +
         CNN thread): extraction + association; keyframes queue for the
-        backend."""
+        backend. With the submit-capable tracker, this frame's
+        extraction is dispatched immediately and the PREVIOUS frame is
+        associated while it flies (one frame of extra latency, same
+        ordering/keyframe decisions as serial)."""
         self._check()
-        ff = self.sys.tracker.process_stereo(
-            t, self.sys._frame_id, img_left, img_right
-        )
+        submit = getattr(self.sys.tracker, "submit_stereo_extraction",
+                         None)
+        resolver = submit(img_left, img_right) if submit else None
+        if resolver is None:
+            self._frontend(t, img_left, img_right, None)
+            return
+        prev, self._pending_fe = self._pending_fe, (
+            t, np.asarray(img_left), np.asarray(img_right), resolver)
+        if prev is not None:
+            self._frontend(*prev)
+
+    def _flush_pending(self) -> None:
+        prev, self._pending_fe = self._pending_fe, None
+        if prev is not None:
+            self._frontend(*prev)
+
+    def _frontend(self, t, img_left, img_right, resolver) -> None:
+        if resolver is None:  # plain path (also: duck-typed trackers)
+            ff = self.sys.tracker.process_stereo(
+                t, self.sys._frame_id, img_left, img_right
+            )
+        else:
+            ff = self.sys.tracker.process_stereo(
+                t, self.sys._frame_id, img_left, img_right,
+                extracted=resolver,
+            )
         self.sys._frame_id += 1
         if ff is None:
             return
@@ -90,9 +120,12 @@ class PipelinedSystem:
             self._submitted += 1
 
     def drain(self, timeout: float = 600.0) -> None:
-        """Block until every queued keyframe has been processed."""
+        """Block until every queued keyframe has been processed (the
+        lookahead frame is associated first so nothing stays in
+        flight)."""
         import time
 
+        self._flush_pending()
         t0 = time.time()
         while time.time() - t0 < timeout:
             self._check()
@@ -103,6 +136,7 @@ class PipelinedSystem:
         raise TimeoutError("pipeline drain timed out")
 
     def close(self) -> None:
+        self._flush_pending()
         self._stop = True
         self._q.put(None)
         self._thread.join(timeout=30)

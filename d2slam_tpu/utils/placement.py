@@ -140,11 +140,25 @@ class PackedAccelFn:
         )
 
     def __call__(self, *args, **kwargs):
+        fut = self.submit(*args, **kwargs)
+        return fut.result()
+
+    def submit(self, *args, **kwargs) -> "_PackedFuture":
+        """Dispatch without waiting: pack, upload, and launch the
+        device program (all async under JAX's dispatch model), then
+        return a future whose ``result()`` blocks and fetches. Lets a
+        caller overlap the device round trip with host work — e.g. the
+        pipelined frontend dispatches frame k+1's extraction before
+        running frame k's host association (the reference's decoupled
+        CNN inference stream, superpoint_tensorrt.cpp)."""
+        import time
+
         dev = accel_device()
         if dev is None:
             if self._plain is None:
                 self._plain = jax.jit(self.fn)
-            return self._plain(*self.device_args, *args, **kwargs)
+            out = self._plain(*self.device_args, *args, **kwargs)
+            return _PackedFuture(None, out, None)
 
         names = tuple(sorted(kwargs))
         bundle = (args, tuple(kwargs[k] for k in names))
@@ -158,24 +172,20 @@ class PackedAccelFn:
             self._cache[key] = entry
         packed_call, split = entry
 
-        import time
-
         bufs = _pack_host(leaves)
         with LinkStats._lock:
             LinkStats.calls += 1
             LinkStats.bytes_up += sum(b.nbytes for b in bufs)
         t0 = time.perf_counter()
         out = packed_call(*bufs)
-        # block FIRST, then fetch: np.asarray on a pending result takes
-        # a pathological sync path through the tunnel plugin (measured
-        # 180 ms-1.2 s vs block+device_get ~70 ms)
-        jax.block_until_ready(out)
-        flat = jax.device_get(out)
         dt_ms = (time.perf_counter() - t0) * 1e3
         with LinkStats._lock:
+            # dispatch time counts as link time; the future's blocking
+            # wait adds the rest on result() — so overlapped host work
+            # between submit and result still reads as host time
             LinkStats.call_ms += dt_ms
-            LinkStats.bytes_down += sum(b.nbytes for b in flat)
-        return split(flat)
+        return _PackedFuture(split, out, dev)
+
 
     def _build(self, treedef, leaves, dev, names=()):
         shapes = [np.asarray(x).shape for x in leaves]
@@ -271,6 +281,38 @@ class PackedAccelFn:
         return packed_call, split
 
 
+class _PackedFuture:
+    """Pending packed accelerator call (PackedAccelFn.submit)."""
+
+    def __init__(self, split, out, dev):
+        self._split = split
+        self._out = out
+        self._done = None
+
+    def result(self):
+        import time
+
+        if self._done is not None:
+            return self._done
+        if self._split is None:  # CPU fallback: already a plain pytree
+            self._done = self._out
+            self._out = None
+            return self._done
+        t0 = time.perf_counter()
+        # fetch the PENDING result directly: device_get on an in-flight
+        # output folds wait+transfer into one tunnel round trip
+        # (measured 40 ms vs 67 ms for block-then-get at the system
+        # call sizes — a separate block_until_ready pays its own RTT)
+        flat = jax.device_get(self._out)
+        dt_ms = (time.perf_counter() - t0) * 1e3
+        with LinkStats._lock:
+            LinkStats.call_ms += dt_ms
+            LinkStats.bytes_down += sum(b.nbytes for b in flat)
+        self._done = self._split(flat)
+        self._out = None
+        return self._done
+
+
 class CarryAccelFn(PackedAccelFn):
     """PackedAccelFn with a DEVICE-RESIDENT carry pytree.
 
@@ -362,7 +404,8 @@ class CarryAccelFn(PackedAccelFn):
             LinkStats.bytes_up += sum(b.nbytes for b in bufs)
         t0 = time.perf_counter()
         new_carry, out = packed_call(self._carry, *bufs)
-        jax.block_until_ready(out)
+        # direct device_get on the pending result: one tunnel round
+        # trip for wait+transfer (see _PackedFuture.result)
         flat = jax.device_get(out)
         self._carry = new_carry
         dt_ms = (time.perf_counter() - t0) * 1e3
